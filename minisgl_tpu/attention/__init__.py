@@ -1,0 +1,70 @@
+"""Attention backend registry.
+
+Counterpart of /root/reference/python/minisgl/attention/__init__.py:19-68
+(registry + create_attention_backend). A backend here is a pure callable
+``attn_impl(q, k_pool, v_pool, layer_id, meta) -> o`` used inside the jitted
+step; backends close over static geometry (page size, head counts, softmax
+scale). "auto" resolves to the Pallas kernels on TPU and the XLA composite on
+CPU — the analogue of the reference's arch-based auto-select
+(engine/engine.py:218-233).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.attention.xla_backend import xla_paged_attention
+from minisgl_tpu.utils import Registry
+
+AttnImpl = Callable[..., jax.Array]
+
+SUPPORTED_ATTN_BACKENDS: Registry[Callable[..., AttnImpl]] = Registry(
+    "attention backend"
+)
+
+
+def _make_xla_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:
+    return partial(
+        xla_paged_attention, page_size=page_size, scale=head_dim**-0.5
+    )
+
+
+SUPPORTED_ATTN_BACKENDS.register("xla", _make_xla_backend)
+
+
+def _make_pallas_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:
+    from minisgl_tpu.attention.pallas_backend import make_pallas_attention
+
+    return make_pallas_attention(
+        page_size=page_size, scale=head_dim**-0.5, phase=phase
+    )
+
+
+SUPPORTED_ATTN_BACKENDS.register("pallas", _make_pallas_backend)
+
+
+def resolve_backend_name(name: str) -> str:
+    if name != "auto":
+        return name
+    platform = jax.default_backend()
+    return "xla" if platform == "cpu" else "pallas"
+
+
+def create_attention_backend(
+    name: str, *, page_size: int, head_dim: int, phase: str
+) -> AttnImpl:
+    factory = SUPPORTED_ATTN_BACKENDS.get(resolve_backend_name(name))
+    return factory(page_size=page_size, head_dim=head_dim, phase=phase)
+
+
+def validate_attn_backend(name: str) -> str:
+    if name != "auto" and name not in SUPPORTED_ATTN_BACKENDS:
+        raise ValueError(
+            f"unknown attention backend '{name}'; supported: "
+            f"{['auto'] + SUPPORTED_ATTN_BACKENDS.supported_names()}"
+        )
+    return name

@@ -1,0 +1,149 @@
+"""Core request/batch vocabulary shared by scheduler, engine, and server.
+
+TPU-native redesign of /root/reference/python/minisgl/core.py:15-137. Key
+departures from the reference:
+
+- ``Req.input_ids`` is a host numpy array (no torch; the device never owns
+  request token history — only the paged KV and the per-slot last-token ring).
+- There is no process-global mutable ``Context``: all device state (KV pool,
+  token slots, RNG) lives in an explicit ``DeviceState`` pytree threaded
+  through jitted step functions (see minisgl_tpu.engine.step), which is the
+  XLA-friendly formulation of the reference's ``Context`` + CUDA-stream
+  mutation model.
+- Per-request KV placement is a ``page_ids`` list (page granularity), not a
+  ``[max_req, max_seq]`` token-slot table row; the engine derives the dense
+  ``[B, pages_per_seq]`` device page table per batch from these lists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, List, Literal, Optional
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from minisgl_tpu.kvcache.base import BaseCacheHandle
+
+
+@dataclass
+class SamplingParams:
+    temperature: float = 0.0
+    top_k: int = -1
+    top_p: float = 1.0
+    ignore_eos: bool = False
+    max_tokens: int = 1024
+
+    @property
+    def is_greedy(self) -> bool:
+        return (self.temperature <= 0.0 or self.top_k == 1) and self.top_p == 1.0
+
+
+@dataclass(eq=False)
+class Req:
+    """One in-flight request.
+
+    Length bookkeeping follows the reference semantics exactly
+    (core.py:28-68): ``cached_len`` tokens already have KV in the pool,
+    ``device_len`` tokens will have KV after the currently-scheduled forward,
+    and ``max_device_len`` bounds total growth by ``max_tokens``.
+    """
+
+    input_ids: np.ndarray  # int32 host array, grows as tokens are sampled
+    table_idx: int  # slot in the engine's token-slot ring / page-list table
+    cached_len: int
+    output_len: int
+    uid: int
+    sampling_params: SamplingParams
+    cache_handle: Optional["BaseCacheHandle"] = None
+
+    def __post_init__(self) -> None:
+        self.input_ids = np.asarray(self.input_ids, dtype=np.int32)
+        self.device_len = int(len(self.input_ids))
+        self.max_device_len = self.device_len + self.output_len
+        assert 0 <= self.cached_len < self.device_len <= self.max_device_len
+
+    @property
+    def remain_len(self) -> int:
+        return self.max_device_len - self.device_len
+
+    @property
+    def extend_len(self) -> int:
+        return self.device_len - self.cached_len
+
+    def complete_one(self) -> None:
+        """Advance bookkeeping after a forward is *dispatched*: everything up
+        to device_len now has KV; next decode appends one more token."""
+        self.cached_len = self.device_len
+        self.device_len += 1
+
+    def append_host(self, next_token: int) -> None:
+        self.input_ids = np.append(self.input_ids, np.int32(next_token))
+
+    @property
+    def can_decode(self) -> bool:
+        return self.remain_len > 0
+
+    def __repr__(self) -> str:
+        return (
+            f"Req(uid={self.uid}, table_idx={self.table_idx}, "
+            f"cached_len={self.cached_len}, device_len={self.device_len}, "
+            f"max_device_len={self.max_device_len})"
+        )
+
+
+Phase = Literal["prefill", "decode"]
+
+
+@dataclass
+class BatchMetadata:
+    """Host-built numpy metadata for one forward step, already padded to the
+    engine's static bucket shapes. This is what crosses the host->device
+    boundary every iteration (the TPU analogue of the reference's pinned-host
+    staging buffers, scheduler.py:236-267)."""
+
+    phase: Phase
+    # [B_pad] slot id per batch row (padding rows -> dummy slot 0)
+    slot_ids: np.ndarray
+    # [T_pad] token-slot destination for each new token's KV (dummy slot 0 pads)
+    out_slots: np.ndarray
+    # [T_pad] absolute position of each new token
+    positions: np.ndarray
+    # [B_pad, PAGES_CAP] page ids backing each row's KV (dummy page 0 pads)
+    page_table: np.ndarray
+    # [B_pad] total KV length per row *after* this step's tokens are written
+    seq_lens: np.ndarray
+    # prefill only: [T_pad] token ids (decode gathers them device-side)
+    input_ids: Optional[np.ndarray]
+    # prefill only: [T_pad] row index each query token belongs to
+    q_req_ids: Optional[np.ndarray]
+    # prefill only: [B_pad] flat index of each row's last query token
+    last_q_index: Optional[np.ndarray]
+    # [B_pad] sampling tensors
+    temperature: np.ndarray
+    top_k: np.ndarray
+    top_p: np.ndarray
+    # true (unpadded) sizes
+    num_reqs: int
+    num_tokens: int
+
+
+@dataclass
+class Batch:
+    """A scheduled set of requests plus its device-ready metadata."""
+
+    reqs: List[Req]
+    phase: Phase
+    metadata: Optional[BatchMetadata] = field(default=None)
+
+    @property
+    def is_prefill(self) -> bool:
+        return self.phase == "prefill"
+
+    @property
+    def is_decode(self) -> bool:
+        return self.phase == "decode"
+
+    @property
+    def size(self) -> int:
+        return len(self.reqs)

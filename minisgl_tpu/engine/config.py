@@ -1,0 +1,114 @@
+"""Engine configuration (frozen dataclass, CLI-populated).
+
+Parity with /root/reference/python/minisgl/engine/config.py:15-55, with the
+CUDA-specific knobs re-interpreted for TPU:
+
+- ``cuda_graph_*`` -> ``decode_bs_buckets`` / ``max_decode_bs``: the ladder of
+  padded decode batch sizes each compiled once by XLA (the jit-bucket
+  replacement for CUDA-graph capture, reference graph.py:49-67).
+- ``use_pynccl`` -> gone: collectives are XLA ICI/DCN ops on the mesh.
+- page_size defaults to 16 (the reference uses 1; TPU paged attention wants
+  page-granular DMA blocks — MXU/VPU lane-aligned).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import List, Optional
+
+from minisgl_tpu.utils import cached_load_hf_config, div_ceil
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model_path: str
+    tp_size: int = 1
+    dp_size: int = 1
+    dtype: str = "auto"  # auto | bfloat16 | float32
+    max_running_req: int = 256
+    attention_backend: str = "auto"  # auto | pallas | xla
+    moe_backend: str = "auto"
+    max_decode_bs: Optional[int] = None
+    page_size: int = 16
+    memory_ratio: float = 0.9
+    use_dummy_weight: bool = False
+    max_seq_len_override: Optional[int] = None
+    num_page_override: Optional[int] = None
+    # prefill token-count buckets are powers of two up to max_extend_tokens
+    min_prefill_bucket: int = 128
+
+    @cached_property
+    def hf_config(self):
+        return cached_load_hf_config(self.model_path)
+
+    @cached_property
+    def model_config(self):
+        from minisgl_tpu.models.config import ModelConfig
+
+        return ModelConfig.from_hf(self.hf_config)
+
+    @property
+    def resolved_dtype(self) -> str:
+        if self.dtype != "auto":
+            return self.dtype
+        return "float32" if self.model_config.dtype == "float32" else "bfloat16"
+
+    @property
+    def max_seq_len(self) -> int:
+        if self.max_seq_len_override is not None:
+            return self.max_seq_len_override
+        return self.model_config.rotary_config.max_position
+
+    @property
+    def pages_per_req(self) -> int:
+        return div_ceil(self.max_seq_len, self.page_size)
+
+    def decode_bs_buckets(self) -> List[int]:
+        """[1, 2, 4, ..., max] padded decode batch sizes (reference
+        graph.py:49-67 ladder)."""
+        max_bs = min(self.max_decode_bs or self.max_running_req, self.max_running_req)
+        buckets = []
+        bs = 1
+        while bs < max_bs:
+            buckets.append(bs)
+            bs *= 2
+        buckets.append(max_bs)
+        return buckets
+
+
+@dataclass(frozen=True)
+class SchedulerConfig(EngineConfig):
+    """Parity with reference scheduler/config.py:14-41."""
+
+    max_extend_tokens: int = 8192
+    cache_type: str = "radix"
+    offline_mode: bool = False
+    schedule_policy: str = "fcfs"
+
+    _unique_suffix: str = field(default_factory=lambda: f".pid={__import__('os').getpid()}")
+
+    @property
+    def zmq_backend_addr(self) -> str:
+        return "ipc:///tmp/minisgl_tpu_0" + self._unique_suffix
+
+    @property
+    def zmq_detokenizer_addr(self) -> str:
+        return "ipc:///tmp/minisgl_tpu_1" + self._unique_suffix
+
+    @property
+    def zmq_scheduler_broadcast_addr(self) -> str:
+        return "ipc:///tmp/minisgl_tpu_2" + self._unique_suffix
+
+    @property
+    def max_forward_len(self) -> int:
+        return self.max_extend_tokens
+
+    def prefill_token_buckets(self) -> List[int]:
+        buckets = []
+        t = self.min_prefill_bucket
+        while t < self.max_extend_tokens:
+            buckets.append(t)
+            t *= 2
+        buckets.append(self.max_extend_tokens)
+        return buckets

@@ -1,0 +1,83 @@
+"""Jitted forward-step functions: the TPU replacement for CUDA graphs.
+
+The reference amortizes launch overhead by capturing CUDA graphs per decode
+batch size (engine/graph.py:78-171). Here every (phase, bucket-shape,
+all_greedy) combination jit-compiles once and replays from XLA's executable
+cache; static bucket shapes come from the host-side padding in the engine.
+
+One step = shard_map over the ("data","model") mesh of:
+  gather input ids (decode: from the device token ring) -> decoder forward
+  (models/common.py) -> sample -> scatter sampled tokens back to the ring.
+KV pools and the token ring are donated, so XLA updates them in place — the
+functional formulation of the reference's mutable Context
+(core.py:100-137).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from minisgl_tpu.attention.metadata import StepMetadata
+from minisgl_tpu.models.base import Model
+from minisgl_tpu.models.common import AttnImpl
+from minisgl_tpu.ops.sampling import sample_tokens
+from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
+
+
+class DeviceState(NamedTuple):
+    kv_k: jax.Array  # [L, kvh_local*tp(global), S, hd], sharded on heads
+    kv_v: jax.Array
+    token_slots: jax.Array  # [max_running_req + 1] int32, replicated
+    rng: jax.Array  # PRNGKey, replicated
+
+
+KV_SPEC = P(None, MODEL_AXIS, None, None)
+STATE_SPECS = DeviceState(kv_k=KV_SPEC, kv_v=KV_SPEC, token_slots=P(), rng=P())
+
+
+def build_step_fn(
+    model: Model,
+    mesh_info: MeshInfo,
+    attn_impl: AttnImpl,
+    phase: str,
+    all_greedy: bool,
+    return_logits: bool = False,
+):
+    """Returns jitted (params, state, meta) -> (state, tokens[, logits])."""
+    assert phase in ("prefill", "decode")
+    param_specs = {k: v.spec for k, v in model.params_spec.items()}
+
+    def _impl(params, state: DeviceState, meta: StepMetadata):
+        if phase == "decode":
+            input_ids = jnp.take(state.token_slots, meta.slot_ids)
+        else:
+            input_ids = meta.input_ids
+        logits, kv_k, kv_v = model.forward(
+            params, input_ids, state.kv_k, state.kv_v, meta.attn, attn_impl
+        )
+        if all_greedy:
+            tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            rng = state.rng
+        else:
+            rng, subkey = jax.random.split(state.rng)
+            tokens = sample_tokens(logits, meta.sampling, subkey)
+        token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
+        new_state = DeviceState(kv_k, kv_v, token_slots, rng)
+        if return_logits:
+            return new_state, tokens, logits
+        return new_state, tokens
+
+    out_specs = (STATE_SPECS, P(), P()) if return_logits else (STATE_SPECS, P())
+    sharded = jax.shard_map(
+        _impl,
+        mesh=mesh_info.mesh,
+        in_specs=(param_specs, STATE_SPECS, P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))

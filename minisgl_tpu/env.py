@@ -1,0 +1,59 @@
+"""Typed environment-variable flag system.
+
+TPU-native counterpart of the reference env-flag singleton
+(/root/reference/python/minisgl/env.py:16-87): every runtime toggle is a typed
+``MSLT_``-prefixed environment variable collected on one singleton object so
+flags are discoverable and typo-proof.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Generic, TypeVar
+
+T = TypeVar("T")
+
+_PREFIX = "MSLT_"
+
+
+class EnvField(Generic[T]):
+    """A lazily-read, cached, typed env var descriptor."""
+
+    def __init__(self, name: str, default: T, parse: Callable[[str], T]):
+        self.name = _PREFIX + name
+        self.default = default
+        self.parse = parse
+        self._cache: T | None = None
+        self._read = False
+
+    def get(self) -> T:
+        if not self._read:
+            raw = os.environ.get(self.name)
+            self._cache = self.default if raw is None else self.parse(raw)
+            self._read = True
+        return self._cache  # type: ignore[return-value]
+
+    def __get__(self, obj, objtype=None) -> T:
+        return self.get()
+
+
+def _parse_bool(s: str) -> bool:
+    return s.strip().lower() in ("1", "true", "yes", "on")
+
+
+class _Env:
+    # Disable the one-iteration-behind overlap scheduling (fetch results
+    # synchronously right after dispatch). Mirrors the reference ablation flag
+    # (env.py:69 MINISGL_DISABLE_OVERLAP_SCHEDULING).
+    DISABLE_OVERLAP_SCHEDULING = EnvField("DISABLE_OVERLAP_SCHEDULING", False, _parse_bool)
+    # Force XLA-composite attention instead of Pallas kernels (debug / CPU).
+    FORCE_XLA_ATTENTION = EnvField("FORCE_XLA_ATTENTION", False, _parse_bool)
+    # Run Pallas kernels in interpreter mode (automatic on CPU backend).
+    PALLAS_INTERPRET = EnvField("PALLAS_INTERPRET", False, _parse_bool)
+    # Logging level for the engine logger.
+    LOG_LEVEL = EnvField("LOG_LEVEL", "INFO", str)
+    # Include the PID in log lines (useful with multi-process serving plane).
+    LOG_PID = EnvField("LOG_PID", False, _parse_bool)
+
+
+ENV = _Env()

@@ -1,0 +1,63 @@
+"""Model bundle: config + dims + param table + forward entry.
+
+Counterpart of reference models/base.py:12-14 + models/__init__.py:7-11
+(create_model / BaseLLMModel), reshaped for the functional world: a Model is
+static metadata plus a pure ``forward`` closed over nothing mutable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.layers.params import ParamsSpec
+from minisgl_tpu.models.common import (
+    AttnImpl,
+    ModelDims,
+    ModelExtras,
+    build_param_specs,
+    decoder_forward,
+)
+from minisgl_tpu.models.config import ModelConfig
+from minisgl_tpu.models.registry import resolve_extras
+
+import minisgl_tpu.models.families  # noqa: F401  (populate registry)
+
+
+@dataclass(frozen=True)
+class Model:
+    cfg: ModelConfig
+    dims: ModelDims
+    extras: ModelExtras
+    params_spec: ParamsSpec
+
+    def forward(
+        self,
+        params,
+        input_ids: jax.Array,
+        kv_k: jax.Array,
+        kv_v: jax.Array,
+        meta: AttnMetadata,
+        attn_impl: AttnImpl,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        return decoder_forward(
+            params,
+            self.cfg,
+            self.dims,
+            self.extras,
+            input_ids,
+            kv_k,
+            kv_v,
+            meta,
+            attn_impl,
+        )
+
+
+def create_model(cfg: ModelConfig, tp_size: int) -> Model:
+    extras = resolve_extras(cfg)
+    dims = ModelDims.build(cfg, tp_size)
+    spec = build_param_specs(cfg, dims, extras)
+    return Model(cfg=cfg, dims=dims, extras=extras, params_spec=spec)

@@ -1,0 +1,440 @@
+"""Shared decoder-transformer implementation: param table + forward.
+
+TPU-native re-design of the reference model stack
+(/root/reference/python/minisgl/models/utils.py:25-123 GatedMLP/MoEMLP/RopeAttn,
+models/llama.py:18-82). All model families (Llama, Qwen2/3, Qwen3-MoE,
+Mistral) share one parameterized decoder:
+
+- Parameters are a flat ``{path: array}`` pytree; per-layer tensors are
+  STACKED along a leading [L, ...] axis and the layer loop is a
+  ``jax.lax.scan`` — one-layer trace, fast compiles (the XLA replacement for
+  per-layer CUDA-graph capture cost).
+- The forward runs INSIDE ``jax.shard_map`` over the ("data", "model") mesh:
+  params arrive as local shards, and the collective placement matches the
+  reference exactly — psum after o_proj and down_proj (linear.py:102-127),
+  psum combine for the vocab-parallel embedding (embedding.py:32-42), and an
+  all-gather of column-sharded logits (embedding.py:102-110).
+- Attention is pluggable (``attn_impl``): XLA fallback or Pallas paged kernel,
+  both operating on the paged KV pool (ops/kv.py layout).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.layers.params import (
+    HFSource,
+    ParamInfo,
+    ParamsSpec,
+    make_kv_replicate,
+    make_kv_replicate_bias,
+    make_shard_interleave,
+    t_transpose,
+)
+from minisgl_tpu.models.config import ModelConfig
+from minisgl_tpu.ops.activation import ACT2FN
+from minisgl_tpu.ops.kv import store_kv
+from minisgl_tpu.ops.normalization import fused_add_rmsnorm, rmsnorm
+from minisgl_tpu.ops.rope import apply_rope, compute_rope_cache
+from minisgl_tpu.parallel.mesh import MODEL_AXIS
+from minisgl_tpu.utils import div_even
+
+# attn_impl(q, k_pool, v_pool, layer_id, meta) -> o
+AttnImpl = Callable[..., jax.Array]
+
+
+@dataclass(frozen=True)
+class ModelDims:
+    """Global + local (per-TP-shard) dimensions."""
+
+    tp: int
+    q_heads: int  # global
+    kv_heads: int  # global (from HF config)
+    kv_mult: int  # replication factor when tp > kv_heads
+    head_dim: int
+
+    @property
+    def kv_heads_eff(self) -> int:  # global, replication-expanded
+        return self.kv_heads * self.kv_mult
+
+    @property
+    def q_heads_local(self) -> int:
+        return self.q_heads // self.tp
+
+    @property
+    def kv_heads_local(self) -> int:
+        return self.kv_heads_eff // self.tp
+
+    @classmethod
+    def build(cls, cfg: ModelConfig, tp: int) -> "ModelDims":
+        assert cfg.num_qo_heads % tp == 0, (cfg.num_qo_heads, tp)
+        kv_mult = tp // cfg.num_kv_heads if tp > cfg.num_kv_heads else 1
+        # validates divisibility incl. the replication rule
+        div_even(cfg.num_kv_heads * kv_mult, tp)
+        return cls(
+            tp=tp,
+            q_heads=cfg.num_qo_heads,
+            kv_heads=cfg.num_kv_heads,
+            kv_mult=kv_mult,
+            head_dim=cfg.head_dim,
+        )
+
+
+@dataclass(frozen=True)
+class ModelExtras:
+    """Per-family knobs (reference: qwen2.py:19-20 bias, qwen3.py:20 qk-norm)."""
+
+    attn_bias: bool = False
+    qk_norm: bool = False
+
+
+def build_param_specs(
+    cfg: ModelConfig, dims: ModelDims, extras: ModelExtras
+) -> ParamsSpec:
+    L = cfg.num_layers
+    H = cfg.hidden_size
+    hd = dims.head_dim
+    tp = dims.tp
+    dtype = jnp.bfloat16 if cfg.dtype != "float32" else jnp.float32
+    q_out = dims.q_heads * hd
+    kv_out = dims.kv_heads_eff * hd
+
+    kv_rep = partial(make_kv_replicate, cfg.num_kv_heads, hd, dims.kv_mult)
+    kv_rep_b = partial(make_kv_replicate_bias, cfg.num_kv_heads, hd, dims.kv_mult)
+
+    def layer_sources(tmpl: str, transform=None) -> list:
+        return [
+            HFSource(tmpl.format(i=i), transform=transform) for i in range(L)
+        ]
+
+    spec: ParamsSpec = {}
+
+    spec["embed"] = ParamInfo(
+        (cfg.vocab_size, H),
+        dtype,
+        P(MODEL_AXIS, None),
+        sources=[HFSource("model.embed_tokens.weight")],
+    )
+    spec["rope_cache"] = ParamInfo(
+        (cfg.rotary_config.max_position, cfg.rotary_config.rotary_dim),
+        jnp.float32,
+        P(),
+        init=lambda: compute_rope_cache(cfg.rotary_config),
+    )
+    spec["final_norm"] = ParamInfo(
+        (H,), dtype, P(), sources=[HFSource("model.norm.weight")]
+    )
+    if not cfg.tie_word_embeddings:
+        spec["lm_head"] = ParamInfo(
+            (H, cfg.vocab_size),
+            dtype,
+            P(None, MODEL_AXIS),
+            sources=[HFSource("lm_head.weight", t_transpose)],
+        )
+
+    # ---- stacked per-layer tensors (leading L axis) ----
+    pre = "model.layers.{i}."
+
+    def stacked(
+        name: str,
+        shape: tuple,
+        pspec: P,
+        source_groups: list,  # list of (tmpl, transform) merged along axis -1
+        post=None,
+        dt=None,
+    ):
+        # one sublist per stack member (layer), merged along merge_axis
+        srcs = [
+            [HFSource(tmpl.format(i=i), transform=tf) for tmpl, tf in source_groups]
+            for i in range(L)
+        ]
+        spec[f"layers/{name}"] = ParamInfo(
+            (L, *shape),
+            dt or dtype,
+            pspec,
+            sources=srcs,
+            merge_axis=-1,
+            stack=True,
+            post_transform=post,
+        )
+
+    stacked(
+        "input_norm_w", (H,), P(), [(pre + "input_layernorm.weight", None)]
+    )
+    stacked(
+        "post_norm_w", (H,), P(), [(pre + "post_attention_layernorm.weight", None)]
+    )
+
+    qkv_interleave = make_shard_interleave([q_out, kv_out, kv_out], tp)
+    stacked(
+        "qkv_w",
+        (H, q_out + 2 * kv_out),
+        P(None, None, MODEL_AXIS),
+        [
+            (pre + "self_attn.q_proj.weight", t_transpose),
+            (pre + "self_attn.k_proj.weight", kv_rep()),
+            (pre + "self_attn.v_proj.weight", kv_rep()),
+        ],
+        post=qkv_interleave,
+    )
+    if extras.attn_bias:
+        stacked(
+            "qkv_b",
+            (q_out + 2 * kv_out,),
+            P(None, MODEL_AXIS),
+            [
+                (pre + "self_attn.q_proj.bias", None),
+                (pre + "self_attn.k_proj.bias", kv_rep_b()),
+                (pre + "self_attn.v_proj.bias", kv_rep_b()),
+            ],
+            post=qkv_interleave,
+        )
+    if extras.qk_norm:
+        stacked("q_norm_w", (hd,), P(), [(pre + "self_attn.q_norm.weight", None)])
+        stacked("k_norm_w", (hd,), P(), [(pre + "self_attn.k_norm.weight", None)])
+
+    stacked(
+        "o_w",
+        (q_out, H),
+        P(None, MODEL_AXIS, None),
+        [(pre + "self_attn.o_proj.weight", t_transpose)],
+    )
+
+    if not cfg.is_moe:
+        I = cfg.intermediate_size
+        stacked(
+            "gate_up_w",
+            (H, 2 * I),
+            P(None, None, MODEL_AXIS),
+            [
+                (pre + "mlp.gate_proj.weight", t_transpose),
+                (pre + "mlp.up_proj.weight", t_transpose),
+            ],
+            post=make_shard_interleave([I, I], tp),
+        )
+        stacked(
+            "down_w",
+            (I, H),
+            P(None, MODEL_AXIS, None),
+            [(pre + "mlp.down_proj.weight", t_transpose)],
+        )
+    else:
+        E = cfg.num_experts
+        Im = cfg.moe_intermediate_size
+        stacked(
+            "router_w",
+            (H, E),
+            P(),
+            [(pre + "mlp.gate.weight", t_transpose)],
+        )
+        # experts stacked [L, E, ...]: sources are ordered (layer, expert)
+        w1_srcs = []
+        w2_srcs = []
+        for i in range(L):
+            for e in range(E):
+                ep = f"model.layers.{i}.mlp.experts.{e}."
+                w1_srcs.append(
+                    [
+                        HFSource(ep + "gate_proj.weight", t_transpose),
+                        HFSource(ep + "up_proj.weight", t_transpose),
+                    ]
+                )
+                w2_srcs.append([HFSource(ep + "down_proj.weight", t_transpose)])
+        spec["layers/moe_w1"] = ParamInfo(
+            (L, E, H, 2 * Im),
+            dtype,
+            P(None, None, None, MODEL_AXIS),
+            sources=w1_srcs,
+            merge_axis=-1,
+            stack=True,
+            post_transform=make_shard_interleave([Im, Im], tp),
+        )
+        spec["layers/moe_w2"] = ParamInfo(
+            (L, E, Im, H),
+            dtype,
+            P(None, None, MODEL_AXIS, None),
+            sources=w2_srcs,
+            merge_axis=-1,
+            stack=True,
+        )
+
+    return spec
+
+
+# ------------------------------ forward ------------------------------------
+
+
+def _vocab_parallel_embed(
+    embed_local: jax.Array, ids: jax.Array, vocab_size: int, tp: int
+) -> jax.Array:
+    """Masked local gather + psum (reference embedding.py:32-42)."""
+    v_local = vocab_size // tp
+    if tp == 1:
+        return jnp.take(embed_local, ids, axis=0)
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    start = shard * v_local
+    local_ids = ids - start
+    valid = (local_ids >= 0) & (local_ids < v_local)
+    x = jnp.take(embed_local, jnp.clip(local_ids, 0, v_local - 1), axis=0)
+    x = jnp.where(valid[:, None], x, 0)
+    return jax.lax.psum(x, MODEL_AXIS)
+
+
+def _maybe_psum(x: jax.Array, tp: int) -> jax.Array:
+    return jax.lax.psum(x, MODEL_AXIS) if tp > 1 else x
+
+
+def _moe_mlp(
+    x: jax.Array,  # [T, H]
+    router_w: jax.Array,  # [H, E] replicated
+    w1: jax.Array,  # [E, H, 2*Im/tp] local
+    w2: jax.Array,  # [E, Im/tp, H] local
+    top_k: int,
+    renormalize: bool,
+    act_fn,
+) -> jax.Array:
+    """TP-sharded MoE via ragged grouped matmul (jax.lax.ragged_dot), the XLA
+    counterpart of the reference's Triton grouped GEMM (moe/fused.py:127-227,
+    kernel/triton/fused_moe.py)."""
+    T, H = x.shape
+    E = w1.shape[0]
+    router_logits = jnp.dot(
+        x.astype(jnp.float32), router_w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topk_p, topk_e = jax.lax.top_k(probs, top_k)  # [T, K]
+    if renormalize:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+
+    flat_e = topk_e.reshape(-1)  # [T*K]
+    order = jnp.argsort(flat_e)  # stable sort by expert
+    inv_order = jnp.argsort(order)
+    x_rep = jnp.repeat(x, top_k, axis=0)  # token t occupies rows t*K..t*K+K-1
+    x_sorted = x_rep[order]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    h = jax.lax.ragged_dot(
+        x_sorted, w1, group_sizes, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    h = act_fn(h)
+    out_sorted = jax.lax.ragged_dot(
+        h, w2, group_sizes, preferred_element_type=jnp.float32
+    )
+    out = out_sorted[inv_order].reshape(T, top_k, H)
+    out = jnp.sum(out * topk_p[:, :, None], axis=1)
+    return out.astype(x.dtype)
+
+
+def decoder_forward(
+    params: Dict[str, jax.Array],  # LOCAL shards (inside shard_map)
+    cfg: ModelConfig,
+    dims: ModelDims,
+    extras: ModelExtras,
+    input_ids: jax.Array,  # [T]
+    kv_k: jax.Array,  # [L, kvh_local, S, hd]
+    kv_v: jax.Array,
+    meta: AttnMetadata,
+    attn_impl: AttnImpl,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (logits [B, V] f32, kv_k, kv_v)."""
+    tp = dims.tp
+    hd = dims.head_dim
+    nql, nkl = dims.q_heads_local, dims.kv_heads_local
+    eps = cfg.rms_norm_eps
+    scale = hd**-0.5
+    act_fn = ACT2FN[cfg.hidden_act]
+
+    x = _vocab_parallel_embed(params["embed"], input_ids, cfg.vocab_size, tp)
+    cos_sin = jnp.take(params["rope_cache"], meta.positions, axis=0)
+
+    layer_params = {
+        k.removeprefix("layers/"): v
+        for k, v in params.items()
+        if k.startswith("layers/")
+    }
+
+    def layer_fn(carry, lp):
+        x, residual, kv_k, kv_v, layer_id = carry
+
+        x, residual = fused_add_rmsnorm(x, residual, lp["input_norm_w"], eps)
+
+        qkv = jnp.dot(x, lp["qkv_w"], preferred_element_type=jnp.float32)
+        if "qkv_b" in lp:
+            qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+        qkv = qkv.astype(x.dtype)
+        T = qkv.shape[0]
+        q, k, v = jnp.split(qkv, [nql * hd, (nql + nkl) * hd], axis=-1)
+        q = q.reshape(T, nql, hd)
+        k = k.reshape(T, nkl, hd)
+        v = v.reshape(T, nkl, hd)
+        if extras.qk_norm:
+            q = rmsnorm(q, lp["q_norm_w"], eps)
+            k = rmsnorm(k, lp["k_norm_w"], eps)
+        q = apply_rope(q, cos_sin)
+        k = apply_rope(k, cos_sin)
+
+        kv_k, kv_v = store_kv(kv_k, kv_v, layer_id, meta.out_slots, k, v)
+        o = attn_impl(q, kv_k, kv_v, layer_id, meta)
+        o = jnp.dot(
+            o.reshape(T, nql * hd), lp["o_w"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        o = _maybe_psum(o, tp)
+
+        x, residual = fused_add_rmsnorm(o, residual, lp["post_norm_w"], eps)
+
+        if cfg.is_moe:
+            y = _moe_mlp(
+                x,
+                lp["router_w"],
+                lp["moe_w1"],
+                lp["moe_w2"],
+                cfg.num_experts_per_tok,
+                cfg.norm_topk_prob,
+                act_fn,
+            )
+        else:
+            gate_up = jnp.dot(
+                x, lp["gate_up_w"], preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            y = act_fn(gate_up)
+            y = jnp.dot(
+                y, lp["down_w"], preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        y = _maybe_psum(y, tp)
+
+        return (y, residual, kv_k, kv_v, layer_id + 1), None
+
+    (x, residual, kv_k, kv_v, _), _ = jax.lax.scan(
+        layer_fn,
+        (x, jnp.zeros_like(x), kv_k, kv_v, jnp.int32(0)),
+        layer_params,
+    )
+
+    hidden = rmsnorm(x + residual, params["final_norm"], eps)
+    # prefill: only each request's last token produces a next-token logit
+    # (reference embedding.py:87-110)
+    hidden_last = jnp.take(hidden, meta.last_q_index, axis=0)  # [B, H]
+
+    if cfg.tie_word_embeddings:
+        lm_w = params["embed"].T  # [H, V/tp] — same local layout either way
+    else:
+        lm_w = params["lm_head"]
+    logits_local = jnp.dot(
+        hidden_last, lm_w, preferred_element_type=jnp.float32
+    )  # [B, V/tp]
+    if tp > 1:
+        logits = jax.lax.all_gather(
+            logits_local, MODEL_AXIS, axis=-1, tiled=True
+        )
+    else:
+        logits = logits_local
+    return logits, kv_k, kv_v
