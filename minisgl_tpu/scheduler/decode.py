@@ -1,0 +1,48 @@
+"""Running-set manager for decode batches.
+
+Parity with /root/reference/python/minisgl/scheduler/decode.py:9-39 including
+the per-req (page_size - 1) slack in the in-flight token reservation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Set
+
+from minisgl_tpu.core import Batch, Req
+
+
+@dataclass
+class DecodeManager:
+    page_size: int
+    running_reqs: Set[Req] = field(default_factory=set)
+
+    def filter_reqs(self, reqs: Iterable[Req]) -> None:
+        self.running_reqs = {
+            req for req in self.running_reqs.union(reqs) if req.can_decode
+        }
+
+    def remove_req(self, req: Req) -> None:
+        self.running_reqs.discard(req)
+
+    def abort_req(self, uid: int) -> Optional[Req]:
+        for req in self.running_reqs:
+            if req.uid == uid:
+                self.running_reqs.remove(req)
+                return req
+        return None
+
+    @property
+    def inflight_tokens(self) -> int:
+        reserved = (self.page_size - 1) * len(self.running_reqs)
+        return sum(req.remain_len for req in self.running_reqs) + reserved
+
+    def schedule_next_batch(self) -> Optional[Batch]:
+        if not self.runnable:
+            return None
+        reqs: List[Req] = sorted(self.running_reqs, key=lambda r: r.table_idx)
+        return Batch(reqs=reqs, phase="decode")
+
+    @property
+    def runnable(self) -> bool:
+        return len(self.running_reqs) > 0
