@@ -61,6 +61,11 @@ class Req:
         self.input_ids = np.asarray(self.input_ids, dtype=np.int32)
         self.device_len = int(len(self.input_ids))
         self.max_device_len = self.device_len + self.output_len
+        # prompt length at admission; output count = len(input_ids) - this.
+        # (The reference infers finish from device_len, which under overlap
+        # scheduling advances one dispatch ahead of processed results and
+        # finishes one token early; counting appended outputs is exact.)
+        self.prompt_len = self.device_len
         assert 0 <= self.cached_len < self.device_len <= self.max_device_len
 
     @property
@@ -79,6 +84,10 @@ class Req:
 
     def append_host(self, next_token: int) -> None:
         self.input_ids = np.append(self.input_ids, np.int32(next_token))
+
+    @property
+    def num_output_tokens(self) -> int:
+        return len(self.input_ids) - self.prompt_len
 
     @property
     def can_decode(self) -> bool:

@@ -1,0 +1,122 @@
+"""Host-side batch metadata construction + bucket padding.
+
+Counterpart of the reference's host index builders
+(/root/reference/python/minisgl/scheduler/scheduler.py:236-267
+_make_positions/_make_input_tuple/_make_write_tuple) plus the CUDA-graph
+pad_batch (engine/graph.py:160-166): one pass over the scheduled requests
+produces every padded numpy array the jitted step consumes. Padding targets
+static bucket shapes so XLA compiles each (phase, B, T, pages) combination
+exactly once.
+
+Padding conventions (reference engine.py:89-98 dummy req/page trick):
+- batch rows -> slot 0 (dummy), seq_len 1, page row all-zero (dummy page 0)
+- query tokens -> out_slot 0 (scatter into the garbage page), position 0,
+  q_req_id pointing at the last (padded) row when one exists
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from minisgl_tpu.core import Batch, BatchMetadata, Req
+from minisgl_tpu.utils import next_power_of_2
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+def pages_bucket(n: int, cap: int, floor: int = 8) -> int:
+    return min(cap, max(floor, next_power_of_2(n)))
+
+
+def build_batch_metadata(
+    batch: Batch,
+    page_lists: List[List[int]],
+    page_size: int,
+    bs_buckets: Sequence[int],
+    token_buckets: Sequence[int],
+    pages_cap: int,
+) -> BatchMetadata:
+    reqs = batch.reqs
+    B = len(reqs)
+    if batch.is_decode:
+        T = B
+        B_pad = pick_bucket(B, bs_buckets)
+        T_pad = B_pad
+    else:
+        T = sum(r.extend_len for r in reqs)
+        B_pad = next_power_of_2(B)
+        T_pad = pick_bucket(T, token_buckets)
+
+    max_pages = max((len(page_lists[r.table_idx]) for r in reqs), default=1)
+    PB = pages_bucket(max_pages, pages_cap)
+
+    slot_ids = np.zeros(B_pad, np.int32)
+    seq_lens = np.ones(B_pad, np.int32)
+    page_table = np.zeros((B_pad, PB), np.int32)
+    out_slots = np.zeros(T_pad, np.int32)
+    positions = np.zeros(T_pad, np.int32)
+    q_req_ids = np.full(T_pad, B_pad - 1 if B_pad > B else 0, np.int32)
+    last_q_index = np.zeros(B_pad, np.int32)
+    temperature = np.zeros(B_pad, np.float32)
+    top_k = np.full(B_pad, -1, np.int32)
+    top_p = np.ones(B_pad, np.float32)
+    input_ids = np.zeros(T_pad, np.int32) if batch.is_prefill else None
+
+    offset = 0
+    for i, req in enumerate(reqs):
+        pages = page_lists[req.table_idx]
+        slot_ids[i] = req.table_idx
+        seq_lens[i] = req.device_len
+        page_table[i, : len(pages)] = pages
+        sp = req.sampling_params
+        temperature[i] = sp.temperature
+        top_k[i] = sp.top_k
+        top_p[i] = sp.top_p
+
+        ext = req.extend_len
+        pos = np.arange(req.cached_len, req.device_len, dtype=np.int32)
+        page_arr = np.asarray(pages, dtype=np.int32)
+        slots = page_arr[pos // page_size] * page_size + pos % page_size
+        positions[offset : offset + ext] = pos
+        out_slots[offset : offset + ext] = slots
+        q_req_ids[offset : offset + ext] = i
+        if batch.is_prefill:
+            input_ids[offset : offset + ext] = req.input_ids[
+                req.cached_len : req.device_len
+            ]
+        offset += ext
+        last_q_index[i] = offset - 1
+
+    assert offset == T, (offset, T)
+    # padded rows gather their "last token" from flat index T_pad - 1 when
+    # padding tokens exist, else 0 — the row's logits are discarded anyway
+    if B_pad > B:
+        last_q_index[B:] = T_pad - 1 if T_pad > T else 0
+
+    return BatchMetadata(
+        phase=batch.phase,
+        slot_ids=slot_ids,
+        out_slots=out_slots,
+        positions=positions,
+        page_table=page_table,
+        seq_lens=seq_lens,
+        input_ids=input_ids,
+        q_req_ids=q_req_ids,
+        last_q_index=last_q_index,
+        temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
+        num_reqs=B,
+        num_tokens=T,
+    )
+
+
+def all_greedy(batch: Batch) -> bool:
+    return all(r.sampling_params.is_greedy for r in batch.reqs)

@@ -1,0 +1,251 @@
+"""Per-host engine: mesh + params + device state + jitted step cache.
+
+TPU-native counterpart of /root/reference/python/minisgl/engine/engine.py.
+Departures from the reference's per-GPU-process design:
+
+- ONE engine per host drives all local chips through a ("data","model") mesh;
+  NCCL/gloo process groups are replaced by XLA collectives inside the jitted
+  step (parallel/mesh.py).
+- CUDA graphs (graph.py) are replaced by jit compilation per static bucket
+  shape; ``warmup()`` precompiles the decode ladder like the reference's
+  capture loop (graph.py:105-147).
+- KV sizing by memory probing (engine.py:148-189) uses per-device
+  memory_stats() minima instead of cross-rank all-reduce.
+- The dual CUDA stream overlap trick becomes XLA async dispatch: forward_batch
+  returns a device token array immediately; the host fetches it one iteration
+  later (scheduler loop).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minisgl_tpu.attention import create_attention_backend, resolve_backend_name
+from minisgl_tpu.attention.metadata import (
+    AttnMetadata,
+    SamplingMetadata,
+    StepMetadata,
+)
+from minisgl_tpu.core import Batch, BatchMetadata
+from minisgl_tpu.engine.batch_builder import all_greedy, build_batch_metadata
+from minisgl_tpu.engine.config import EngineConfig
+from minisgl_tpu.engine.step import KV_SPEC, DeviceState, build_step_fn
+from minisgl_tpu.models.base import create_model
+from minisgl_tpu.models.weight import init_dummy_params, load_params
+from minisgl_tpu.parallel.mesh import MeshInfo, create_mesh
+from minisgl_tpu.utils import div_ceil, init_logger, resolve_model_dir
+
+logger = init_logger(__name__, "Engine")
+
+
+class ForwardOutput(NamedTuple):
+    batch: Batch
+    tokens: jax.Array  # [B_pad] device array (fetch one iteration later)
+
+
+class Engine:
+    def __init__(self, config: EngineConfig, mesh_info: Optional[MeshInfo] = None):
+        self.config = config
+        self.mesh_info = mesh_info or create_mesh(config.tp_size, config.dp_size)
+        self.model_config = config.model_config
+        self.model = create_model(self.model_config, config.tp_size)
+        self.dtype = (
+            jnp.float32 if config.resolved_dtype == "float32" else jnp.bfloat16
+        )
+
+        if config.use_dummy_weight:
+            self.params = init_dummy_params(self.model.params_spec, self.mesh_info)
+        else:
+            self.params = load_params(
+                resolve_model_dir(config.model_path),
+                self.model.params_spec,
+                self.mesh_info,
+            )
+
+        self.num_pages = self._determine_num_pages()
+        self.max_seq_len = min(
+            config.max_seq_len, self.num_pages * config.page_size
+        )
+        self.pages_cap = div_ceil(self.max_seq_len, config.page_size)
+        self.state = self._init_device_state()
+        logger.info(
+            f"engine up: {self.num_pages} pages x {config.page_size} tokens, "
+            f"max_seq_len {self.max_seq_len}, tp={config.tp_size}"
+        )
+
+        backend = resolve_backend_name(config.attention_backend)
+        hd = self.model_config.head_dim
+        self._attn = {
+            phase: create_attention_backend(
+                backend, page_size=config.page_size, head_dim=hd, phase=phase
+            )
+            for phase in ("prefill", "decode")
+        }
+        self._step_fns: Dict[Tuple[str, bool], object] = {}
+        self.bs_buckets = config.decode_bs_buckets()
+        self.token_buckets = getattr(
+            config, "prefill_token_buckets", lambda: [self.max_seq_len]
+        )()
+
+    # ------------------------------------------------------------------ init
+
+    def _kv_bytes_per_page_per_device(self) -> int:
+        cfg = self.config
+        itemsize = jnp.dtype(self.dtype).itemsize
+        kvh_local = self.model.dims.kv_heads_local
+        return (
+            2  # K and V
+            * self.model_config.num_layers
+            * kvh_local
+            * cfg.page_size
+            * self.model_config.head_dim
+            * itemsize
+        )
+
+    def _determine_num_pages(self) -> int:
+        cfg = self.config
+        if cfg.num_page_override is not None:
+            return cfg.num_page_override
+        page_bytes = self._kv_bytes_per_page_per_device()
+        avail = None
+        for dev in self.mesh_info.mesh.devices.flat:
+            try:
+                stats = dev.memory_stats()
+                limit = stats["bytes_limit"] * cfg.memory_ratio
+                free = limit - stats["bytes_in_use"]
+            except Exception:
+                free = None
+            if free is not None:
+                avail = free if avail is None else min(avail, free)
+        if avail is None:
+            # CPU / no stats: size for max_seq_len * max_running_req, capped
+            logger.warning("no device memory stats; using conservative KV size")
+            return min(
+                4096, cfg.pages_per_req * max(4, cfg.max_running_req // 8)
+            )
+        num_pages = int(avail // page_bytes)
+        if num_pages <= 0:
+            raise RuntimeError(
+                f"not enough device memory for KV cache: {avail} bytes free, "
+                f"{page_bytes} per page"
+            )
+        logger.info(
+            f"KV sizing: {avail / 1e9:.2f} GB free/chip -> {num_pages} pages"
+        )
+        return num_pages
+
+    def _init_device_state(self) -> DeviceState:
+        cfg = self.config
+        L = self.model_config.num_layers
+        kvh = self.model.dims.kv_heads_eff
+        hd = self.model_config.head_dim
+        S = (self.num_pages + 1) * cfg.page_size  # +1 dummy page 0
+        kv_sharding = self.mesh_info.sharding(KV_SPEC)
+
+        # allocate directly on-device in shards (no host-side global buffer)
+        make_pool = jax.jit(
+            lambda: jnp.zeros((L, kvh, S, hd), self.dtype),
+            out_shardings=kv_sharding,
+        )
+        kv_k = make_pool()
+        kv_v = make_pool()
+        return DeviceState(
+            kv_k=kv_k,
+            kv_v=kv_v,
+            token_slots=jax.device_put(
+                jnp.zeros((cfg.max_running_req + 1,), jnp.int32),
+                self.mesh_info.replicated,
+            ),
+            rng=jax.device_put(jax.random.PRNGKey(0), self.mesh_info.replicated),
+        )
+
+    # ------------------------------------------------------------------ run
+
+    def _get_step_fn(self, phase: str, greedy: bool):
+        key = (phase, greedy)
+        if key not in self._step_fns:
+            self._step_fns[key] = build_step_fn(
+                self.model, self.mesh_info, self._attn[phase], phase, greedy
+            )
+        return self._step_fns[key]
+
+    def _to_device_meta(self, m: BatchMetadata) -> StepMetadata:
+        return StepMetadata(
+            attn=AttnMetadata(
+                out_slots=jnp.asarray(m.out_slots),
+                positions=jnp.asarray(m.positions),
+                page_table=jnp.asarray(m.page_table),
+                seq_lens=jnp.asarray(m.seq_lens),
+                q_req_ids=jnp.asarray(m.q_req_ids),
+                last_q_index=jnp.asarray(m.last_q_index),
+            ),
+            sampling=SamplingMetadata(
+                temperature=jnp.asarray(m.temperature),
+                top_k=jnp.asarray(m.top_k),
+                top_p=jnp.asarray(m.top_p),
+            ),
+            slot_ids=jnp.asarray(m.slot_ids),
+            input_ids=None if m.input_ids is None else jnp.asarray(m.input_ids),
+        )
+
+    def build_metadata(self, batch: Batch, page_lists) -> BatchMetadata:
+        return build_batch_metadata(
+            batch,
+            page_lists,
+            self.config.page_size,
+            self.bs_buckets,
+            self.token_buckets,
+            self.pages_cap,
+        )
+
+    def forward_batch(self, batch: Batch) -> ForwardOutput:
+        assert batch.metadata is not None
+        meta = self._to_device_meta(batch.metadata)
+        step = self._get_step_fn(batch.phase, all_greedy(batch))
+        self.state, tokens = step(self.params, self.state, meta)
+        # host-side length bookkeeping advances at dispatch (reference
+        # engine.py:199-200)
+        for req in batch.reqs:
+            req.complete_one()
+        return ForwardOutput(batch=batch, tokens=tokens)
+
+    def warmup(self) -> None:
+        """Precompile the decode bucket ladder (reference graph capture's
+        role, graph.py:105-147)."""
+        from minisgl_tpu.engine.batch_builder import pages_bucket
+
+        for greedy in (True,):
+            for bs in self.bs_buckets:
+                meta = self._dummy_decode_meta(bs)
+                step = self._get_step_fn("decode", greedy)
+                self.state, tokens = step(self.params, self.state, meta)
+        jax.block_until_ready(tokens)
+        logger.info(f"warmup compiled decode buckets {self.bs_buckets}")
+
+    def _dummy_decode_meta(self, bs: int) -> StepMetadata:
+        from minisgl_tpu.engine.batch_builder import pages_bucket
+
+        PB = pages_bucket(1, self.pages_cap)
+        return StepMetadata(
+            attn=AttnMetadata(
+                out_slots=jnp.zeros((bs,), jnp.int32),
+                positions=jnp.zeros((bs,), jnp.int32),
+                page_table=jnp.zeros((bs, PB), jnp.int32),
+                seq_lens=jnp.ones((bs,), jnp.int32),
+                q_req_ids=jnp.arange(bs, dtype=jnp.int32),
+                last_q_index=jnp.arange(bs, dtype=jnp.int32),
+            ),
+            sampling=SamplingMetadata(
+                temperature=jnp.zeros((bs,)),
+                top_k=jnp.full((bs,), -1, jnp.int32),
+                top_p=jnp.ones((bs,)),
+            ),
+            slot_ids=jnp.zeros((bs,), jnp.int32),
+        )
+
+    def shutdown(self) -> None:
+        pass

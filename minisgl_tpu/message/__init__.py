@@ -1,0 +1,126 @@
+"""Typed inter-process messages (three families, counterpart of
+/root/reference/python/minisgl/message/: tokenizer 22-41, backend 22-41,
+frontend 20-28)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Union
+
+import numpy as np
+
+from minisgl_tpu.core import SamplingParams
+from minisgl_tpu.message.serde import dumps, loads, register_msg
+
+register_msg(SamplingParams)
+
+
+# ---- tokenizer-bound (frontend -> tokenizer) -------------------------------
+
+
+class BaseTokenizerMsg:
+    pass
+
+
+@register_msg
+@dataclass
+class TokenizeMsg(BaseTokenizerMsg):
+    uid: int
+    text: Union[str, List[dict]]  # raw prompt or chat messages
+    sampling_params: SamplingParams
+
+
+@register_msg
+@dataclass
+class AbortMsg(BaseTokenizerMsg):
+    uid: int
+
+
+# ---- backend-bound (tokenizer -> scheduler) --------------------------------
+
+
+class BaseBackendMsg:
+    pass
+
+
+@register_msg
+@dataclass
+class UserMsg(BaseBackendMsg):
+    uid: int
+    input_ids: np.ndarray  # int32
+    sampling_params: SamplingParams
+
+
+@register_msg
+@dataclass
+class AbortBackendMsg(BaseBackendMsg):
+    uid: int
+
+
+@register_msg
+@dataclass
+class ExitMsg(BaseBackendMsg):
+    pass
+
+
+@register_msg
+@dataclass
+class BatchBackendMsg(BaseBackendMsg):
+    data: List[BaseBackendMsg] = field(default_factory=list)
+
+
+# ---- detokenizer-bound (scheduler -> tokenizer) ----------------------------
+
+
+@register_msg
+@dataclass
+class DetokenizeMsg:
+    uid: int
+    next_token: int
+    finished: bool
+
+
+@register_msg
+@dataclass
+class BatchDetokenizeMsg:
+    data: List[DetokenizeMsg] = field(default_factory=list)
+
+
+# ---- frontend-bound (tokenizer -> api server) ------------------------------
+
+
+class BaseFrontendMsg:
+    pass
+
+
+@register_msg
+@dataclass
+class UserReply(BaseFrontendMsg):
+    uid: int
+    incremental_output: str
+    finished: bool
+
+
+@register_msg
+@dataclass
+class BatchFrontendMsg(BaseFrontendMsg):
+    data: List[UserReply] = field(default_factory=list)
+
+
+__all__ = [
+    "AbortBackendMsg",
+    "AbortMsg",
+    "BaseBackendMsg",
+    "BaseFrontendMsg",
+    "BaseTokenizerMsg",
+    "BatchBackendMsg",
+    "BatchDetokenizeMsg",
+    "BatchFrontendMsg",
+    "DetokenizeMsg",
+    "ExitMsg",
+    "TokenizeMsg",
+    "UserMsg",
+    "UserReply",
+    "dumps",
+    "loads",
+]

@@ -97,7 +97,12 @@ class CacheManager:
         # duplicate region: our pages for [old.cached_len, dup_len)
         self._free(pages[old_handle.cached_len // ps : dup_len // ps])
         if finished:
-            self._free(pages[new_handle.cached_len // ps :])
+            # everything beyond what the radix tree owns, including the
+            # decode-reservation page that may extend past cached_len (the
+            # old handle's prefix stays radix-owned even when the request
+            # aborted before inserting anything)
+            radix_owned = max(new_handle.cached_len, old_handle.cached_len)
+            self._free(pages[radix_owned // ps :])
         else:
             req.cache_handle = new_handle
             self.lock(new_handle)

@@ -1,0 +1,237 @@
+"""The continuous-batching scheduler: THE hot loop.
+
+Behavioral counterpart of /root/reference/python/minisgl/scheduler/
+scheduler.py:45-233. Overlap scheduling maps 1:1 onto XLA async dispatch: the
+reference schedules batch N+1 on a second CUDA stream while batch N runs and
+synchronizes one iteration behind on a copy event (scheduler.py:83-106,142);
+here ``Engine.forward_batch`` enqueues the jitted step and returns a device
+token array immediately, the host schedules batch N+1, and only then blocks on
+batch N's tokens via np.asarray — same pipeline, no streams to manage.
+
+Invariants carried over from the reference:
+- prefill-first policy (scheduler.py:219-225)
+- results processed one iteration behind; double-free of just-finished reqs
+  guarded by the finished set (scheduler.py:159)
+- radix insert on prefill completion and on finish (scheduler.py:163-164)
+- input-too-long drop + max_tokens clamp (scheduler.py:177-188)
+- idle integrity check (scheduler.py:78-81)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+import numpy as np
+
+from minisgl_tpu.core import Batch, Req
+from minisgl_tpu.engine.config import SchedulerConfig
+from minisgl_tpu.engine.engine import Engine, ForwardOutput
+from minisgl_tpu.env import ENV
+from minisgl_tpu.message import (
+    AbortBackendMsg,
+    BaseBackendMsg,
+    BatchBackendMsg,
+    DetokenizeMsg,
+    ExitMsg,
+    UserMsg,
+)
+from minisgl_tpu.scheduler.cache import CacheManager
+from minisgl_tpu.scheduler.decode import DecodeManager
+from minisgl_tpu.scheduler.io import SchedulerIOMixin
+from minisgl_tpu.scheduler.prefill import ChunkedReq, PrefillManager
+from minisgl_tpu.scheduler.table import TableManager
+from minisgl_tpu.utils import init_logger
+
+logger = init_logger(__name__, "Scheduler")
+
+ForwardData = Tuple[Batch, ForwardOutput]
+
+
+class Scheduler(SchedulerIOMixin):
+    def __init__(self, config: SchedulerConfig):
+        self.config = config
+        self.engine = Engine(config)
+
+        self.table_manager = TableManager(config.max_running_req)
+        self.cache_manager = CacheManager(
+            self.engine.num_pages,
+            config.page_size,
+            self.table_manager,
+            config.cache_type,
+        )
+        self.decode_manager = DecodeManager(config.page_size)
+        self.prefill_manager = PrefillManager(
+            self.cache_manager, self.table_manager, self.decode_manager
+        )
+
+        self.finished_reqs: Set[Req] = set()
+        self.eos_token_ids = self._resolve_eos_ids()
+        self.prefill_budget = config.max_extend_tokens
+        self._running = True
+
+        super().__init__(config)
+
+    def _resolve_eos_ids(self) -> Set[int]:
+        eos: Set[int] = set()
+        hf = self.config.hf_config
+        raw = hf.get("eos_token_id")
+        if isinstance(raw, int):
+            eos.add(raw)
+        elif isinstance(raw, list):
+            eos.update(raw)
+        try:
+            from minisgl_tpu.utils import cached_load_tokenizer
+
+            tok = cached_load_tokenizer(self.config.model_path)
+            if tok.eos_token_id is not None:
+                eos.add(int(tok.eos_token_id))
+        except Exception:
+            pass
+        return eos
+
+    # ------------------------------------------------------------- main loop
+
+    def run_when_idle(self) -> None:
+        self.cache_manager.check_integrity()
+
+    def overlap_loop(self, last_data: Optional[ForwardData]) -> Optional[ForwardData]:
+        blocking = not (
+            last_data is not None
+            or self.prefill_manager.runnable
+            or self.decode_manager.runnable
+        )
+        if blocking and last_data is None:
+            self.run_when_idle()
+        for msg in self.receive_msg(blocking=blocking):
+            self._process_one_msg(msg)
+
+        batch = self._schedule_next_batch()
+        ongoing: Optional[ForwardData] = None
+        if batch is not None:
+            ongoing = (batch, self._forward(batch))
+
+        self._process_last_data(last_data)
+        return ongoing
+
+    def normal_loop(self) -> None:
+        blocking = not (
+            self.prefill_manager.runnable or self.decode_manager.runnable
+        )
+        if blocking:
+            self.run_when_idle()
+        for msg in self.receive_msg(blocking=blocking):
+            self._process_one_msg(msg)
+        batch = self._schedule_next_batch()
+        if batch is not None:
+            out = self._forward(batch)
+            self._process_last_data((batch, out))
+
+    def run_forever(self) -> None:
+        # Other exceptions (e.g. the offline API's RequestAllFinished)
+        # propagate to the caller without tearing the engine down.
+        try:
+            if ENV.DISABLE_OVERLAP_SCHEDULING:
+                while self._running:
+                    self.normal_loop()
+            else:
+                data: Optional[ForwardData] = None
+                while self._running or data is not None:
+                    data = self.overlap_loop(data)
+        except KeyboardInterrupt:
+            logger.info("scheduler interrupted, shutting down")
+            self.shutdown()
+
+    def shutdown(self) -> None:
+        self.engine.shutdown()
+        self.shutdown_io()
+
+    # ------------------------------------------------------------ processing
+
+    def _process_last_data(self, last_data: Optional[ForwardData]) -> None:
+        if last_data is None:
+            return
+        batch, output = last_data
+        # the only host-device sync, one iteration behind (reference
+        # scheduler.py:142 copy_done.synchronize())
+        tokens = np.asarray(output.tokens)
+        reply: List[DetokenizeMsg] = []
+        new_finished: Set[Req] = set()
+        for i, req in enumerate(batch.reqs):
+            if isinstance(req, ChunkedReq):
+                continue
+            if req in self.finished_reqs:
+                # overlap scheduling decoded one extra step for an
+                # already-finished req; drop it (reference scheduler.py:159)
+                continue
+            next_token = int(tokens[i])
+            req.append_host(next_token)
+            # exact length finish: count appended outputs (see core.Req)
+            finished = req.num_output_tokens >= req.output_len
+            if not req.sampling_params.ignore_eos:
+                finished |= next_token in self.eos_token_ids
+            reply.append(
+                DetokenizeMsg(uid=req.uid, next_token=next_token, finished=finished)
+            )
+            if finished:
+                self.decode_manager.remove_req(req)
+                self._free_req_resources(req)
+                new_finished.add(req)
+            elif batch.is_prefill:
+                self.cache_manager.cache_req(req, finished=False)
+        self.finished_reqs = new_finished
+        self.send_result(reply)
+
+    def _process_one_msg(self, msg: BaseBackendMsg) -> None:
+        if isinstance(msg, BatchBackendMsg):
+            for m in msg.data:
+                self._process_one_msg(m)
+        elif isinstance(msg, ExitMsg):
+            raise KeyboardInterrupt
+        elif isinstance(msg, UserMsg):
+            input_len = len(msg.input_ids)
+            max_seq_len = self.engine.max_seq_len
+            max_output_len = max_seq_len - input_len
+            if max_output_len <= 0:
+                logger.warning(
+                    f"input length {input_len} >= max_seq_len {max_seq_len}; "
+                    f"request {msg.uid} dropped"
+                )
+                self.send_result(
+                    [DetokenizeMsg(uid=msg.uid, next_token=0, finished=True)]
+                )
+                return
+            if msg.sampling_params.max_tokens > max_output_len:
+                msg.sampling_params.max_tokens = max_output_len
+            self.prefill_manager.add_one_req(
+                msg.uid, msg.input_ids, msg.sampling_params
+            )
+        elif isinstance(msg, AbortBackendMsg):
+            req = self.prefill_manager.abort_req(msg.uid)
+            req = req or self.decode_manager.abort_req(msg.uid)
+            if req is not None and req not in self.finished_reqs:
+                self._free_req_resources(req)
+        else:
+            raise NotImplementedError(f"unknown message {type(msg)}")
+
+    def _free_req_resources(self, req: Req) -> None:
+        self.cache_manager.cache_req(req, finished=True)
+        self.table_manager.free(req.table_idx)
+
+    # ------------------------------------------------------------ scheduling
+
+    def _schedule_next_batch(self) -> Optional[Batch]:
+        batch = self.prefill_manager.schedule_next_batch(
+            self.prefill_budget
+        ) or self.decode_manager.schedule_next_batch()
+        if batch is None:
+            return None
+        self.cache_manager.allocate_paged(batch.reqs)
+        batch.metadata = self.engine.build_metadata(
+            batch, self.table_manager.page_lists
+        )
+        return batch
+
+    def _forward(self, batch: Batch) -> ForwardOutput:
+        output = self.engine.forward_batch(batch)
+        self.decode_manager.filter_reqs(batch.reqs)
+        return output
