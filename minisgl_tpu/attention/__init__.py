@@ -2,10 +2,13 @@
 
 Counterpart of /root/reference/python/minisgl/attention/__init__.py:19-68
 (registry + create_attention_backend). A backend here is a pure callable
-``attn_impl(q, k_pool, v_pool, layer_id, meta) -> o`` used inside the jitted
-step; backends close over static geometry (page size, head counts, softmax
-scale). "auto" resolves to the Pallas kernels on TPU and the XLA composite on
-CPU — the analogue of the reference's arch-based auto-select
+``attn_impl(q, kv_pool, meta) -> o`` used inside the jitted step; backends
+close over static geometry (page size, head dim, softmax scale). The pool is
+the combined [L*P, page_size, 2*kvh, hd] layout (ops/kv.py) and
+``meta.page_table`` arrives pre-offset to the current layer's page space.
+
+"auto" resolves to the Pallas kernel on TPU and the XLA composite on CPU —
+the analogue of the reference's arch-based auto-select
 (engine/engine.py:218-233).
 """
 
@@ -45,6 +48,16 @@ def _make_pallas_backend(*, page_size: int, head_dim: int, phase: str) -> AttnIm
 
 
 SUPPORTED_ATTN_BACKENDS.register("pallas", _make_pallas_backend)
+
+
+def _make_rpa_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:
+    """jax.experimental ragged-paged-attention kernel (library-tuned)."""
+    from minisgl_tpu.attention.rpa_backend import rpa_attention
+
+    return partial(rpa_attention, scale=head_dim**-0.5)
+
+
+SUPPORTED_ATTN_BACKENDS.register("rpa", _make_rpa_backend)
 
 
 def resolve_backend_name(name: str) -> str:

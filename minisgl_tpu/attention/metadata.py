@@ -29,6 +29,11 @@ class AttnMetadata(NamedTuple):
     # [B] flat index of each row's last query token (prefill LM-head gather);
     # decode: arange(B)
     last_q_index: jax.Array
+    # [B + 1] cumulative query lengths (ragged-attention row starts);
+    # decode: arange(B + 1); padded rows repeat the final value
+    cu_q_lens: jax.Array
+    # [1] true (unpadded) number of sequences in the batch
+    num_seqs: jax.Array
 
     @property
     def num_tokens(self) -> int:

@@ -1,0 +1,271 @@
+"""Our ragged paged-attention Pallas TPU kernel.
+
+The TPU-native counterpart of the reference's attention kernels
+(/root/reference/python/minisgl/attention/fa.py FlashAttention,
+fi.py FlashInfer): one kernel serves all three query modes — decode
+(q_len=1), full prefill, and extend-after-prefix-hit — against the combined
+paged KV pool (ops/kv.py layout ``[N_pages, page_size, 2*kvh, hd]``, K/V
+interleaved on the heads axis, ``meta.page_table`` pre-offset to the layer).
+
+Design:
+- grid = (num_seqs_padded, max_q_blocks). Each program owns one ``BQ``-row
+  query block of one sequence. The host builder aligns every sequence's query
+  segment to ``BQ`` rows (engine/batch_builder.py), so block starts are
+  expressible as BlockSpec index maps driven by the scalar-prefetched
+  ``cu_q_lens`` — decode is simply BQ=1 where alignment is trivial.
+- The KV pages of the owning sequence stream HBM -> VMEM with double-buffered
+  per-page async DMA (page row = [page_size, 2*kvh, hd] is one contiguous
+  DMA), overlapping the flash-attention inner loop.
+- Online softmax (m, l, acc carries) in f32 over chunks of CP pages; per
+  kv-head group the score matmul is [BQ*G, hd] x [hd, CP*page_size] — MXU
+  shaped for prefill (128x128x128 at BQ=64, G=2, hd=128) while decode stays
+  HBM-bandwidth bound as it must be.
+- Causality comes from the explicit per-token ``positions`` (not derived from
+  q_len), which is what makes prefix-extend and intra-segment padding rows
+  work: padding rows mask to nothing and produce garbage rows no consumer
+  reads (the LM head gathers ``last_q_index`` only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(
+    # scalar prefetch
+    cu_q_blocks_ref,  # [B+1] i32, per-seq first q-block index (cu_q_lens/BQ)
+    kv_lens_ref,  # [B] i32
+    num_seqs_ref,  # [1] i32
+    pt_ref,  # [B, PB] i32 page tables (scalar prefetch, SMEM)
+    # inputs
+    q_ref,  # VMEM [BQ, Hq, hd]
+    pos_ref,  # VMEM [1, BQ, 1] i32 positions
+    qrid_ref,  # VMEM [1, BQ, 1] i32 owning-row ids
+    kv_hbm,  # ANY  [N, ps, 2*kvh, hd]
+    # outputs
+    o_ref,  # VMEM [BQ, Hq, hd]
+    # scratch
+    kv_buf,  # VMEM [2, CP, ps, 2*kvh, hd]
+    sems,  # DMA [2, CP]
+    *,
+    scale: float,
+    block_q: int,
+    pages_per_chunk: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(1)
+    BQ = block_q
+    CP = pages_per_chunk
+    _, Hq, hd = q_ref.shape
+    ps = kv_buf.shape[2]
+    kvh = kv_buf.shape[3] // 2
+    G = Hq // kvh
+    R = BQ * G
+    Tc = CP * ps
+
+    num_q_blocks = cu_q_blocks_ref[b + 1] - cu_q_blocks_ref[b]
+    run = jnp.logical_and(b < num_seqs_ref[0], iq < num_q_blocks)
+
+    @pl.when(run)
+    def _():
+        kv_len = kv_lens_ref[b]
+        pos = pos_ref[0, :, 0]  # [BQ]
+        # bound the kv scan by the largest position this block attends to
+        bound = jnp.minimum(kv_len, jnp.max(pos) + 1)
+        num_chunks = pl.cdiv(bound, Tc)
+
+        def start_dma(slot, ci):
+            for j in range(CP):
+                page = pt_ref[b, ci * CP + j]
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
+
+        def wait_dma(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+
+        start_dma(0, 0)
+
+        pos_q = pos_ref[0]  # [BQ, 1]
+        valid_row = qrid_ref[0] == b  # [BQ, 1]
+
+        q_f = q_ref[:].astype(jnp.float32) * scale  # [BQ, Hq, hd]
+        q_heads = [
+            q_f[:, j, :].astype(q_ref.dtype) for j in range(Hq)
+        ]  # each [BQ, hd]; head j attends kv head j // G
+
+        def chunk_body(ci, carry):
+            ms, ls, accs = carry
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                start_dma((ci + 1) % 2, ci + 1)
+
+            slot = ci % 2
+            wait_dma(slot)
+            kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
+
+            kv_idx = ci * Tc + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, Tc), dimension=1
+            )
+            mask = (kv_idx <= pos_q) & (kv_idx < kv_len) & valid_row
+
+            new_ms, new_ls, new_accs = [], [], []
+            for h in range(kvh):
+                k = kv[:, 2 * h, :]  # [Tc, hd]
+                v = kv[:, 2 * h + 1, :]
+                for g in range(G):
+                    j = h * G + g
+                    s = jax.lax.dot_general(
+                        q_heads[j],
+                        k,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [BQ, Tc]
+                    s = jnp.where(mask, s, _NEG_INF)
+                    m_new = jnp.maximum(
+                        ms[j], jnp.max(s, axis=1, keepdims=True)
+                    )
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(ms[j] - m_new)
+                    l_new = ls[j] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(v.dtype),
+                        v,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [BQ, hd]
+                    new_ms.append(m_new)
+                    new_ls.append(l_new)
+                    new_accs.append(accs[j] * alpha + pv)
+            return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+        init = (
+            tuple(jnp.full((BQ, 1), _NEG_INF, jnp.float32) for _ in range(Hq)),
+            tuple(jnp.zeros((BQ, 1), jnp.float32) for _ in range(Hq)),
+            tuple(jnp.zeros((BQ, hd), jnp.float32) for _ in range(Hq)),
+        )
+        ms, ls, accs = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+
+        for j in range(Hq):
+            o_j = accs[j] / jnp.maximum(ls[j], 1e-30)  # [BQ, hd]
+            o_ref[:, j, :] = o_j.astype(o_ref.dtype)
+
+
+def pallas_ragged_paged_attention(
+    q: jax.Array,  # [T, Hq, hd]
+    kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
+    meta: AttnMetadata,
+    *,
+    scale: float,
+    block_q: int,
+    pages_per_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    T, Hq, hd = q.shape
+    N, ps, kvh2, _ = kv_pool.shape
+    B, PB = meta.page_table.shape
+    BQ = block_q
+    assert T % BQ == 0, (T, BQ)
+    CP = min(pages_per_chunk, PB)
+    assert PB % CP == 0, (PB, CP)
+    n_blocks = T // BQ
+    max_q_blocks = 1 if BQ == 1 and T == B else n_blocks
+
+    cu_q_blocks = meta.cu_q_lens // BQ  # [B+1], builder aligns segments
+
+    def _block_idx(b, iq, cu, kl, ns, pt):
+        # skipped programs (padding seq / block past the seq's segment) are
+        # routed to the trailing garbage block so they never clobber real
+        # output blocks when the pipeline flushes them
+        run = jnp.logical_and(b < ns[0], cu[b] + iq < cu[b + 1])
+        return jnp.where(run, cu[b] + iq, n_blocks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, max_q_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
+                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, BQ, 1), lambda b, iq, cu, kl, ns, pt: (
+                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, BQ, 1), lambda b, iq, cu, kl, ns, pt: (
+                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
+                _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, CP)),
+        ],
+    )
+
+    # one trailing garbage block absorbs skipped programs' flushes
+    pad = BQ
+    q_in = jnp.concatenate([q, jnp.zeros((pad, Hq, hd), q.dtype)], axis=0)
+    pos_in = jnp.concatenate(
+        [meta.positions, jnp.zeros((pad,), meta.positions.dtype)]
+    ).reshape(n_blocks + 1, BQ, 1)
+    qrid_in = jnp.concatenate(
+        [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
+    ).reshape(n_blocks + 1, BQ, 1)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, block_q=BQ, pages_per_chunk=CP
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(
+        cu_q_blocks,
+        meta.seq_lens,
+        meta.num_seqs,
+        meta.page_table,
+        q_in,
+        pos_in,
+        qrid_in,
+        kv_pool,
+    )
+    return out[:T]
+
+
+# alignment the host batch builder must apply to each sequence's query
+# segment for the prefill kernel's block index maps to be expressible
+QUERY_ALIGN = {"pallas": 64, "rpa": 1, "xla": 1}
+
+
+def make_pallas_attention(*, page_size: int, scale: float, phase: str):
+    block_q = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
+
+    def impl(q, kv_pool, meta: AttnMetadata):
+        return pallas_ragged_paged_attention(
+            q, kv_pool, meta, scale=scale, block_q=block_q
+        )
+
+    return impl

@@ -1,0 +1,38 @@
+"""Backend wrapping JAX's bundled ragged-paged-attention Pallas kernel.
+
+Serves the same role as the reference delegating to FlashInfer/FlashAttention
+library kernels (/root/reference/python/minisgl/attention/fi.py:80-271,
+fa.py:139-182): a vendor-tuned kernel behind the same backend interface, used
+for A/B comparison against our own Pallas kernel (pallas_backend.py). Our
+combined pool layout [L*P, page_size, 2*kvh, hd] was chosen to be directly
+consumable by kernels of this shape — the layer "slice" is an offset already
+folded into meta.page_table, so the FULL pool is passed and only the
+referenced pages are DMA'd.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+
+
+def rpa_attention(
+    q: jax.Array,  # [T, Hq_local, hd]
+    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd]
+    meta: AttnMetadata,
+    scale: float,
+) -> jax.Array:
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
+        ragged_paged_attention,
+    )
+
+    return ragged_paged_attention(
+        q,
+        kv_pool,
+        meta.seq_lens,
+        meta.page_table,
+        meta.cu_q_lens,
+        meta.num_seqs,
+        sm_scale=scale,
+    )

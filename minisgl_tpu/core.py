@@ -128,6 +128,8 @@ class BatchMetadata:
     q_req_ids: Optional[np.ndarray]
     # prefill only: [B_pad] flat index of each row's last query token
     last_q_index: Optional[np.ndarray]
+    # [B_pad + 1] cumulative query lens (ragged-attention row starts)
+    cu_q_lens: np.ndarray
     # [B_pad] sampling tensors
     temperature: np.ndarray
     top_k: np.ndarray

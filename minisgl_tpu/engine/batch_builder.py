@@ -42,15 +42,23 @@ def build_batch_metadata(
     bs_buckets: Sequence[int],
     token_buckets: Sequence[int],
     pages_cap: int,
+    q_align: int = 1,
 ) -> BatchMetadata:
+    # q_align > 1 pads every request query segment to that multiple so the
+    # Pallas kernel block index maps stay expressible
+    # (attention/pallas_backend.py QUERY_ALIGN)
     reqs = batch.reqs
     B = len(reqs)
+
+    def aligned(n: int) -> int:
+        return -(-n // q_align) * q_align
+
     if batch.is_decode:
         T = B
         B_pad = pick_bucket(B, bs_buckets)
         T_pad = B_pad
     else:
-        T = sum(r.extend_len for r in reqs)
+        T = sum(aligned(r.extend_len) for r in reqs)
         B_pad = next_power_of_2(B)
         T_pad = pick_bucket(T, token_buckets)
 
@@ -62,8 +70,12 @@ def build_batch_metadata(
     page_table = np.zeros((B_pad, PB), np.int32)
     out_slots = np.zeros(T_pad, np.int32)
     positions = np.zeros(T_pad, np.int32)
-    q_req_ids = np.full(T_pad, B_pad - 1 if B_pad > B else 0, np.int32)
+    # -1 marks padding query rows: the Pallas kernel masks them out and the
+    # XLA backend gathers simply wrap to the last row (garbage rows that no
+    # consumer reads)
+    q_req_ids = np.full(T_pad, -1, np.int32)
     last_q_index = np.zeros(B_pad, np.int32)
+    cu_q_lens = np.zeros(B_pad + 1, np.int32)
     temperature = np.zeros(B_pad, np.float32)
     top_k = np.full(B_pad, -1, np.int32)
     top_p = np.ones(B_pad, np.float32)
@@ -91,14 +103,14 @@ def build_batch_metadata(
             input_ids[offset : offset + ext] = req.input_ids[
                 req.cached_len : req.device_len
             ]
-        offset += ext
-        last_q_index[i] = offset - 1
+        last_q_index[i] = offset + ext - 1
+        offset += ext if batch.is_decode else aligned(ext)
+        cu_q_lens[i + 1] = offset
 
     assert offset == T, (offset, T)
-    # padded rows gather their "last token" from flat index T_pad - 1 when
-    # padding tokens exist, else 0 — the row's logits are discarded anyway
-    if B_pad > B:
-        last_q_index[B:] = T_pad - 1 if T_pad > T else 0
+    cu_q_lens[B + 1 :] = offset
+    # padded batch rows gather their "last token" from flat index 0 — their
+    # logits are discarded anyway
 
     return BatchMetadata(
         phase=batch.phase,
@@ -110,6 +122,7 @@ def build_batch_metadata(
         input_ids=input_ids,
         q_req_ids=q_req_ids,
         last_q_index=last_q_index,
+        cu_q_lens=cu_q_lens,
         temperature=temperature,
         top_k=top_k,
         top_p=top_p,

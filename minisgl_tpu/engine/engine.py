@@ -18,6 +18,7 @@ Departures from the reference's per-GPU-process design:
 
 from __future__ import annotations
 
+import time
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -78,6 +79,9 @@ class Engine:
         )
 
         backend = resolve_backend_name(config.attention_backend)
+        from minisgl_tpu.attention.pallas_backend import QUERY_ALIGN
+
+        self.q_align = QUERY_ALIGN.get(backend, 1)
         hd = self.model_config.head_dim
         self._attn = {
             phase: create_attention_backend(
@@ -143,19 +147,18 @@ class Engine:
         L = self.model_config.num_layers
         kvh = self.model.dims.kv_heads_eff
         hd = self.model_config.head_dim
-        S = (self.num_pages + 1) * cfg.page_size  # +1 dummy page 0
+        P_layer = self.num_pages + 1  # +1 dummy page 0 per layer
         kv_sharding = self.mesh_info.sharding(KV_SPEC)
 
         # allocate directly on-device in shards (no host-side global buffer)
         make_pool = jax.jit(
-            lambda: jnp.zeros((L, kvh, S, hd), self.dtype),
+            lambda: jnp.zeros(
+                (L * P_layer, cfg.page_size, 2 * kvh, hd), self.dtype
+            ),
             out_shardings=kv_sharding,
         )
-        kv_k = make_pool()
-        kv_v = make_pool()
         return DeviceState(
-            kv_k=kv_k,
-            kv_v=kv_v,
+            kv=make_pool(),
             token_slots=jax.device_put(
                 jnp.zeros((cfg.max_running_req + 1,), jnp.int32),
                 self.mesh_info.replicated,
@@ -168,6 +171,7 @@ class Engine:
     def _get_step_fn(self, phase: str, greedy: bool):
         key = (phase, greedy)
         if key not in self._step_fns:
+            logger.debug(f"building step fn {key}")
             self._step_fns[key] = build_step_fn(
                 self.model, self.mesh_info, self._attn[phase], phase, greedy
             )
@@ -182,6 +186,8 @@ class Engine:
                 seq_lens=jnp.asarray(m.seq_lens),
                 q_req_ids=jnp.asarray(m.q_req_ids),
                 last_q_index=jnp.asarray(m.last_q_index),
+                cu_q_lens=jnp.asarray(m.cu_q_lens),
+                num_seqs=jnp.asarray([m.num_reqs], jnp.int32),
             ),
             sampling=SamplingMetadata(
                 temperature=jnp.asarray(m.temperature),
@@ -200,13 +206,18 @@ class Engine:
             self.bs_buckets,
             self.token_buckets,
             self.pages_cap,
+            q_align=self.q_align,
         )
 
     def forward_batch(self, batch: Batch) -> ForwardOutput:
         assert batch.metadata is not None
         meta = self._to_device_meta(batch.metadata)
         step = self._get_step_fn(batch.phase, all_greedy(batch))
+        t0 = time.perf_counter()
         self.state, tokens = step(self.params, self.state, meta)
+        dt = time.perf_counter() - t0
+        if dt > 1.0:  # cold-bucket compile; steady-state dispatch is ~ms
+            logger.debug(f"step dispatch took {dt:.1f}s (compile?)")
         # host-side length bookkeeping advances at dispatch (reference
         # engine.py:199-200)
         for req in batch.reqs:
@@ -214,17 +225,48 @@ class Engine:
         return ForwardOutput(batch=batch, tokens=tokens)
 
     def warmup(self) -> None:
-        """Precompile the decode bucket ladder (reference graph capture's
-        role, graph.py:105-147)."""
-        from minisgl_tpu.engine.batch_builder import pages_bucket
-
+        """Precompile the decode bucket ladder + the smallest prefill bucket
+        (reference graph capture's role, graph.py:105-147)."""
         for greedy in (True,):
             for bs in self.bs_buckets:
                 meta = self._dummy_decode_meta(bs)
                 step = self._get_step_fn("decode", greedy)
                 self.state, tokens = step(self.params, self.state, meta)
+            meta = self._dummy_prefill_meta(self.token_buckets[0])
+            step = self._get_step_fn("prefill", greedy)
+            self.state, tokens = step(self.params, self.state, meta)
         jax.block_until_ready(tokens)
-        logger.info(f"warmup compiled decode buckets {self.bs_buckets}")
+        logger.info(
+            f"warmup compiled decode buckets {self.bs_buckets} + prefill "
+            f"bucket {self.token_buckets[0]}"
+        )
+
+    def _dummy_prefill_meta(self, T_pad: int) -> StepMetadata:
+        from minisgl_tpu.engine.batch_builder import pages_bucket
+
+        PB = pages_bucket(1, self.pages_cap)
+        q_req_ids = np.full((T_pad,), -1, np.int32)
+        q_req_ids[0] = 0
+        positions = np.zeros((T_pad,), np.int32)
+        return StepMetadata(
+            attn=AttnMetadata(
+                out_slots=jnp.zeros((T_pad,), jnp.int32),
+                positions=jnp.asarray(positions),
+                page_table=jnp.zeros((1, PB), jnp.int32),
+                seq_lens=jnp.ones((1,), jnp.int32),
+                q_req_ids=jnp.asarray(q_req_ids),
+                last_q_index=jnp.zeros((1,), jnp.int32),
+                cu_q_lens=jnp.asarray([0, self.q_align], jnp.int32),
+                num_seqs=jnp.asarray([1], jnp.int32),
+            ),
+            sampling=SamplingMetadata(
+                temperature=jnp.zeros((1,)),
+                top_k=jnp.full((1,), -1, jnp.int32),
+                top_p=jnp.ones((1,)),
+            ),
+            slot_ids=jnp.zeros((1,), jnp.int32),
+            input_ids=jnp.zeros((T_pad,), jnp.int32),
+        )
 
     def _dummy_decode_meta(self, bs: int) -> StepMetadata:
         from minisgl_tpu.engine.batch_builder import pages_bucket
@@ -238,6 +280,8 @@ class Engine:
                 seq_lens=jnp.ones((bs,), jnp.int32),
                 q_req_ids=jnp.arange(bs, dtype=jnp.int32),
                 last_q_index=jnp.arange(bs, dtype=jnp.int32),
+                cu_q_lens=jnp.arange(bs + 1, dtype=jnp.int32),
+                num_seqs=jnp.asarray([bs], jnp.int32),
             ),
             sampling=SamplingMetadata(
                 temperature=jnp.zeros((bs,)),

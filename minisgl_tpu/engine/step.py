@@ -30,14 +30,15 @@ from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
 
 
 class DeviceState(NamedTuple):
-    kv_k: jax.Array  # [L, kvh_local*tp(global), S, hd], sharded on heads
-    kv_v: jax.Array
+    # [L*P, page_size, 2*kvh_eff(global), hd], K/V interleaved on the heads
+    # axis which is sharded over the TP mesh axis (ops/kv.py layout)
+    kv: jax.Array
     token_slots: jax.Array  # [max_running_req + 1] int32, replicated
     rng: jax.Array  # PRNGKey, replicated
 
 
-KV_SPEC = P(None, MODEL_AXIS, None, None)
-STATE_SPECS = DeviceState(kv_k=KV_SPEC, kv_v=KV_SPEC, token_slots=P(), rng=P())
+KV_SPEC = P(None, None, MODEL_AXIS, None)
+STATE_SPECS = DeviceState(kv=KV_SPEC, token_slots=P(), rng=P())
 
 
 def build_step_fn(
@@ -57,8 +58,8 @@ def build_step_fn(
             input_ids = jnp.take(state.token_slots, meta.slot_ids)
         else:
             input_ids = meta.input_ids
-        logits, kv_k, kv_v = model.forward(
-            params, input_ids, state.kv_k, state.kv_v, meta.attn, attn_impl
+        logits, kv_pool = model.forward(
+            params, input_ids, state.kv, meta.attn, attn_impl
         )
         if all_greedy:
             tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -67,7 +68,7 @@ def build_step_fn(
             rng, subkey = jax.random.split(state.rng)
             tokens = sample_tokens(logits, meta.sampling, subkey)
         token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
-        new_state = DeviceState(kv_k, kv_v, token_slots, rng)
+        new_state = DeviceState(kv_pool, token_slots, rng)
         if return_logits:
             return new_state, tokens, logits
         return new_state, tokens

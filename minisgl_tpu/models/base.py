@@ -38,19 +38,17 @@ class Model:
         self,
         params,
         input_ids: jax.Array,
-        kv_k: jax.Array,
-        kv_v: jax.Array,
+        kv_pool: jax.Array,
         meta: AttnMetadata,
         attn_impl: AttnImpl,
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, jax.Array]:
         return decoder_forward(
             params,
             self.cfg,
             self.dims,
             self.extras,
             input_ids,
-            kv_k,
-            kv_v,
+            kv_pool,
             meta,
             attn_impl,
         )

@@ -340,13 +340,13 @@ def decoder_forward(
     dims: ModelDims,
     extras: ModelExtras,
     input_ids: jax.Array,  # [T]
-    kv_k: jax.Array,  # [L, kvh_local, S, hd]
-    kv_v: jax.Array,
+    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd] combined pool
     meta: AttnMetadata,
     attn_impl: AttnImpl,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (logits [B, V] f32, kv_k, kv_v)."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (logits [B, V] f32, kv_pool)."""
     tp = dims.tp
+    pages_per_layer = kv_pool.shape[0] // cfg.num_layers
     hd = dims.head_dim
     nql, nkl = dims.q_heads_local, dims.kv_heads_local
     eps = cfg.rms_norm_eps
@@ -363,7 +363,7 @@ def decoder_forward(
     }
 
     def layer_fn(carry, lp):
-        x, residual, kv_k, kv_v, layer_id = carry
+        x, residual, kv_pool, layer_id = carry
 
         x, residual = fused_add_rmsnorm(x, residual, lp["input_norm_w"], eps)
 
@@ -382,8 +382,14 @@ def decoder_forward(
         q = apply_rope(q, cos_sin)
         k = apply_rope(k, cos_sin)
 
-        kv_k, kv_v = store_kv(kv_k, kv_v, layer_id, meta.out_slots, k, v)
-        o = attn_impl(q, kv_k, kv_v, layer_id, meta)
+        kv_pool = store_kv(
+            kv_pool, layer_id, pages_per_layer, meta.out_slots, k, v
+        )
+        # the layer "slice" of the pool is an integer page offset (ops/kv.py)
+        meta_l = meta._replace(
+            page_table=meta.page_table + layer_id * pages_per_layer
+        )
+        o = attn_impl(q, kv_pool, meta_l)
         o = jnp.dot(
             o.reshape(T, nql * hd), lp["o_w"], preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -411,11 +417,11 @@ def decoder_forward(
             ).astype(x.dtype)
         y = _maybe_psum(y, tp)
 
-        return (y, residual, kv_k, kv_v, layer_id + 1), None
+        return (y, residual, kv_pool, layer_id + 1), None
 
-    (x, residual, kv_k, kv_v, _), _ = jax.lax.scan(
+    (x, residual, kv_pool, _), _ = jax.lax.scan(
         layer_fn,
-        (x, jnp.zeros_like(x), kv_k, kv_v, jnp.int32(0)),
+        (x, jnp.zeros_like(x), kv_pool, jnp.int32(0)),
         layer_params,
     )
 
@@ -437,4 +443,4 @@ def decoder_forward(
         )
     else:
         logits = logits_local
-    return logits, kv_k, kv_v
+    return logits, kv_pool

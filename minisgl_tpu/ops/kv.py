@@ -4,42 +4,48 @@ TPU-native equivalent of the reference's MHA pool + store.cu scatter kernel
 (/root/reference/python/minisgl/kvcache/mha_pool.py:28-56,
 kernel/csrc/jit/store.cu:28-53). Layout decisions:
 
-- K and V are separate pools of GLOBAL shape ``[L, kv_heads_eff, S, head_dim]``
-  where ``S = num_pages * page_size`` token slots and ``kv_heads_eff`` is the
-  replication-expanded head count (= max(kv_heads, tp)). Head-major layout
-  keeps each head's page ``[page_size, head_dim]`` contiguous in HBM — the
-  unit the Pallas paged-attention kernel DMAs.
-- Sharded P(None, "model", None, None): heads over the TP axis, so each chip
-  owns the full page space for its local heads (same invariant as the
+- ONE combined pool of GLOBAL shape ``[L * P, page_size, 2 * kv_heads_eff,
+  head_dim]`` where ``P`` is the per-layer page count (page 0 of each layer
+  is the reserved dummy page) and K/V interleave on the heads axis (K at
+  ``0::2``, V at ``1::2``). Rationale:
+  * a page row ``[page_size, 2*kvh, hd]`` is one contiguous DMA fetching
+    every head's K AND V for that page — the granularity TPU paged-attention
+    kernels want;
+  * folding the layer into the page index means the per-layer "slice" is
+    just an integer offset ``layer_id * P`` added to the page table, so the
+    lax.scan over layers never slices (= never copies) the pool.
+- Sharded P(None, None, "model", None): heads over the TP axis, each chip
+  owning the full page space for its local heads (the same invariant as the
   reference's per-rank pool, mha_pool.py:27).
-- Page 0 is the reserved dummy/garbage page: padded batch rows read it and
-  padded new tokens scatter into it (reference engine.py:89-98 trick).
+- Padded batch rows read page 0 and padded new tokens scatter into page 0's
+  slot 0 (reference dummy req/page trick, engine.py:89-98).
 
-The scatter itself is a jnp advanced-index update; under jit with donated
-pools XLA emits an in-place scatter — no copy of the pool.
+The scatter is a jnp advanced-index update; with the pool donated into the
+jitted step XLA performs it in place — no pool copy.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
+import jax.numpy as jnp
+
+
+def interleave_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
+    """[T, kvh, hd] x2 -> [T, 2*kvh, hd] with K at 0::2, V at 1::2."""
+    T, kvh, hd = k_new.shape
+    return jnp.stack([k_new, v_new], axis=2).reshape(T, 2 * kvh, hd)
 
 
 def store_kv(
-    k_pool: jax.Array,  # [L, kvh, S, hd]
-    v_pool: jax.Array,
+    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh, hd]
     layer_id: jax.Array | int,
-    out_slots: jax.Array,  # [T] token slots
+    pages_per_layer: int,
+    out_slots: jax.Array,  # [T] token slots within the layer's page space
     k_new: jax.Array,  # [T, kvh, hd]
     v_new: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
-    # Advanced-index semantics: (layer_id scalar, slice, out_slots[T], slice)
-    # -> indexed shape [T, kvh, hd], matching k_new directly.
-    k_pool = k_pool.at[layer_id, :, out_slots, :].set(
-        k_new.astype(k_pool.dtype), mode="promise_in_bounds"
-    )
-    v_pool = v_pool.at[layer_id, :, out_slots, :].set(
-        v_new.astype(v_pool.dtype), mode="promise_in_bounds"
-    )
-    return k_pool, v_pool
+) -> jax.Array:
+    page_size = kv_pool.shape[1]
+    rows = layer_id * pages_per_layer + out_slots // page_size
+    offs = out_slots % page_size
+    kv_new = interleave_kv(k_new, v_new).astype(kv_pool.dtype)
+    return kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")

@@ -61,6 +61,10 @@ class PrefillAdder:
     reserved_size: int
     cache_manager: "CacheManager"
     table_manager: "TableManager"
+    # query tokens are charged in q_align units so the padded batch the
+    # engine builds (Pallas block alignment, attention/pallas_backend.py)
+    # still fits the largest token bucket
+    q_align: int = 1
 
     def _try_allocate_one(
         self, req: PendingReq
@@ -102,7 +106,8 @@ class PrefillAdder:
         chunk_size = min(self.token_budget, remain_len)
         is_chunked = chunk_size < remain_len
         cls = ChunkedReq if is_chunked else Req
-        self.token_budget -= chunk_size
+        aligned = -(-chunk_size // self.q_align) * self.q_align
+        self.token_budget -= aligned
         self.reserved_size += remain_len + pending_req.output_len
         return cls(
             input_ids=pending_req.input_ids[: cached_len + chunk_size],
@@ -149,7 +154,9 @@ class PrefillManager:
             PendingReq(uid, np.asarray(input_ids, dtype=np.int32), params)
         )
 
-    def schedule_next_batch(self, prefill_budget: int) -> Optional[Batch]:
+    def schedule_next_batch(
+        self, prefill_budget: int, q_align: int = 1
+    ) -> Optional[Batch]:
         if not self.pending_list:
             return None
         adder = PrefillAdder(
@@ -157,6 +164,7 @@ class PrefillManager:
             reserved_size=self.decode_manager.inflight_tokens,
             cache_manager=self.cache_manager,
             table_manager=self.table_manager,
+            q_align=q_align,
         )
         reqs: List[Req] = []
         chunked_list: List[PendingReq] = []

@@ -19,6 +19,7 @@ Invariants carried over from the reference:
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Set, Tuple
 
 import numpy as np
@@ -153,7 +154,11 @@ class Scheduler(SchedulerIOMixin):
         batch, output = last_data
         # the only host-device sync, one iteration behind (reference
         # scheduler.py:142 copy_done.synchronize())
+        t0 = time.perf_counter()
         tokens = np.asarray(output.tokens)
+        dt = time.perf_counter() - t0
+        if dt > 1.0:  # steady state: the fetch lags one dispatched batch
+            logger.debug(f"token fetch waited {dt:.1f}s ({batch.phase})")
         reply: List[DetokenizeMsg] = []
         new_finished: Set[Req] = set()
         for i, req in enumerate(batch.reqs):
@@ -188,6 +193,7 @@ class Scheduler(SchedulerIOMixin):
         elif isinstance(msg, ExitMsg):
             raise KeyboardInterrupt
         elif isinstance(msg, UserMsg):
+            logger.debug(f"recv uid={msg.uid} len={len(msg.input_ids)}")
             input_len = len(msg.input_ids)
             max_seq_len = self.engine.max_seq_len
             max_output_len = max_seq_len - input_len
@@ -221,7 +227,7 @@ class Scheduler(SchedulerIOMixin):
 
     def _schedule_next_batch(self) -> Optional[Batch]:
         batch = self.prefill_manager.schedule_next_batch(
-            self.prefill_budget
+            self.prefill_budget, q_align=self.engine.q_align
         ) or self.decode_manager.schedule_next_batch()
         if batch is None:
             return None
@@ -229,9 +235,13 @@ class Scheduler(SchedulerIOMixin):
         batch.metadata = self.engine.build_metadata(
             batch, self.table_manager.page_lists
         )
+        logger.debug(
+            f"scheduled {batch.phase} B={batch.size} T={batch.metadata.num_tokens}"
+        )
         return batch
 
     def _forward(self, batch: Batch) -> ForwardOutput:
         output = self.engine.forward_batch(batch)
+        logger.debug(f"dispatched {batch.phase} B={batch.size}")
         self.decode_manager.filter_reqs(batch.reqs)
         return output

@@ -10,8 +10,11 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# MINISGL_TPU_TESTS=1 keeps the real TPU visible (kernel tests compile
+# natively there); default is the 8-virtual-device CPU mesh.
+if os.environ.get("MINISGL_TPU_TESTS") != "1":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    jax.config.update("jax_platforms", "cpu")

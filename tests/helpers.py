@@ -116,13 +116,14 @@ class SimpleRunner:
         kvh = self.model.dims.kv_heads_eff
         hd = self.cfg.head_dim
         dtype = jnp.float32 if self.cfg.dtype == "float32" else jnp.bfloat16
-        S = num_pages * page_size
         kv_sharding = self.mesh.sharding(
-            jax.sharding.PartitionSpec(None, "model", None, None)
+            jax.sharding.PartitionSpec(None, None, "model", None)
         )
         self.state = DeviceState(
-            kv_k=jax.device_put(jnp.zeros((L, kvh, S, hd), dtype), kv_sharding),
-            kv_v=jax.device_put(jnp.zeros((L, kvh, S, hd), dtype), kv_sharding),
+            kv=jax.device_put(
+                jnp.zeros((L * num_pages, page_size, 2 * kvh, hd), dtype),
+                kv_sharding,
+            ),
             token_slots=jnp.zeros((9,), jnp.int32),
             rng=jax.random.PRNGKey(0),
         )
@@ -146,6 +147,8 @@ class SimpleRunner:
                 seq_lens=jnp.asarray(np.array([seq_len], np.int32)),
                 q_req_ids=jnp.zeros((T,), jnp.int32),
                 last_q_index=jnp.asarray(np.array([T - 1], np.int32)),
+                cu_q_lens=jnp.asarray(np.array([0, T], np.int32)),
+                num_seqs=jnp.asarray(np.array([1], np.int32)),
             ),
             sampling=SamplingMetadata(
                 temperature=jnp.zeros((B,)),

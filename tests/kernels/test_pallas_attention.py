@@ -1,0 +1,135 @@
+"""Parity tests: our Pallas ragged paged-attention kernel vs the XLA
+reference backend (attention/xla_backend.py), across the three query modes
+of the reference backends (/root/reference/python/minisgl/attention/fa.py
+decode / full prefill / extend-after-prefix-hit). Runs the kernel in
+interpreter mode on CPU; on a real TPU the same test compiles natively.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.attention.pallas_backend import pallas_ragged_paged_attention
+from minisgl_tpu.attention.xla_backend import xla_paged_attention
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# real-hardware lane tiling wants head_dim % 128 == 0; interpret mode is
+# shape-agnostic so CPU runs use small fast shapes
+HD = 128 if not _interpret() else 32
+PS = 4  # page size
+
+
+def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16):
+    """seqs: list of (q_len, kv_len). Builds padded metadata + pool the way
+    engine/batch_builder does, with q segments aligned to BQ."""
+    B = len(seqs)
+    N = B * pages_cap + 1
+    kv_pool = jnp.asarray(
+        rng.standard_normal((N, PS, 2 * kvh, HD)), jnp.float32
+    )
+
+    page_table = np.zeros((B, pages_cap), np.int32)
+    seq_lens = np.zeros((B,), np.int32)
+    positions, q_req_ids, cu = [], [], [0]
+    for b, (q_len, kv_len) in enumerate(seqs):
+        assert q_len <= kv_len <= pages_cap * PS
+        page_table[b] = 1 + b * pages_cap + np.arange(pages_cap)
+        seq_lens[b] = kv_len
+        pos = list(range(kv_len - q_len, kv_len))
+        pad = (-q_len) % BQ
+        positions += pos + [0] * pad
+        q_req_ids += [b] * q_len + [-1] * pad
+        cu.append(cu[-1] + q_len + pad)
+    T = cu[-1]
+    q = jnp.asarray(rng.standard_normal((T, Hq, HD)), jnp.float32)
+
+    meta = AttnMetadata(
+        out_slots=jnp.zeros((T,), jnp.int32),
+        positions=jnp.asarray(positions, jnp.int32),
+        page_table=jnp.asarray(page_table),
+        seq_lens=jnp.asarray(seq_lens),
+        q_req_ids=jnp.asarray(q_req_ids, jnp.int32),
+        last_q_index=jnp.zeros((B,), jnp.int32),
+        cu_q_lens=jnp.asarray(cu, jnp.int32),
+        num_seqs=jnp.asarray([B], jnp.int32),
+    )
+    return q, kv_pool, meta
+
+
+# interpret mode is exact f32; real MXU runs f32 via bf16 passes
+TOL = dict(rtol=2e-5, atol=2e-5) if _interpret() else dict(rtol=2e-2, atol=2e-2)
+
+
+def _check(q, kv_pool, meta, BQ):
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv_pool, meta, scale=scale, block_q=BQ, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    # xla reference masks nothing by q_req_id == -1; compare only real rows
+    ref_meta = meta._replace(
+        q_req_ids=jnp.maximum(meta.q_req_ids, 0)
+    )
+    want = xla_paged_attention(q, kv_pool, ref_meta, PS, scale)
+    real = np.asarray(meta.q_req_ids) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[real], np.asarray(want)[real], **TOL
+    )
+
+
+def test_decode_batch():
+    rng = np.random.default_rng(0)
+    seqs = [(1, 1), (1, 7), (1, 33), (1, 64)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=1)
+    _check(q, kv, meta, BQ=1)
+
+
+def test_decode_with_padding_rows():
+    rng = np.random.default_rng(1)
+    seqs = [(1, 13), (1, 27), (1, 5), (1, 9)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=1)
+    meta = meta._replace(num_seqs=jnp.asarray([2], jnp.int32))
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    want = xla_paged_attention(q, kv, meta, PS, scale)
+    # only the first num_seqs rows are defined
+    np.testing.assert_allclose(
+        np.asarray(got)[:2], np.asarray(want)[:2], **TOL
+    )
+
+
+def test_full_prefill():
+    rng = np.random.default_rng(2)
+    seqs = [(24, 24), (8, 8)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=8)
+    _check(q, kv, meta, BQ=8)
+
+
+def test_extend_after_prefix_hit():
+    rng = np.random.default_rng(3)
+    seqs = [(10, 40), (3, 17), (16, 16)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=8)
+    _check(q, kv, meta, BQ=8)
+
+
+def test_mha_no_gqa():
+    rng = np.random.default_rng(4)
+    seqs = [(12, 20), (5, 5)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=2, kvh=2, BQ=4)
+    _check(q, kv, meta, BQ=4)
+
+
+def test_long_multi_chunk():
+    rng = np.random.default_rng(5)
+    # kv spans many chunks (pages_cap 16 pages * 4 tok, chunk = 2 pages)
+    seqs = [(60, 64)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=4)
+    _check(q, kv, meta, BQ=4)
