@@ -1,0 +1,86 @@
+"""Offline throughput benchmark (driver entry).
+
+Mirrors the reference offline benchmark
+(/root/reference/benchmark/offline/bench.py:10-38: N sequences with random
+input/output lengths in [100, 1024], continuous batching, prints total token
+throughput) on the flagship Qwen3-0.6B architecture (bundled config under
+assets/; dummy weights — the hub is unreachable in this environment, and
+throughput is weight-value-independent, matching the reference's
+--dummy-weight perf path, engine/engine.py:139-146).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is null: the reference publishes no in-tree numbers
+(BASELINE.md — result images are external).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+MODEL = os.path.join(REPO, "assets", "qwen3-0.6b")
+
+NUM_SEQS = int(os.environ.get("BENCH_NUM_SEQS", "128"))
+MIN_LEN = 100
+MAX_LEN = 1024
+
+
+def main() -> None:
+    from minisgl_tpu.core import SamplingParams
+    from minisgl_tpu.llm import LLM
+
+    rng = np.random.default_rng(42)
+    in_lens = rng.integers(MIN_LEN, MAX_LEN + 1, NUM_SEQS)
+    out_lens = rng.integers(MIN_LEN, MAX_LEN + 1, NUM_SEQS)
+    prompts = [
+        rng.integers(10, 10_000, n).astype(np.int32).tolist()
+        for n in in_lens
+    ]
+    params = [
+        SamplingParams(temperature=0.0, max_tokens=int(n), ignore_eos=True)
+        for n in out_lens
+    ]
+
+    llm = LLM(
+        MODEL,
+        use_dummy_weight=True,
+        max_running_req=int(os.environ.get("BENCH_MAX_RUNNING", "128")),
+        max_seq_len_override=2048,
+        cache_type="radix",
+    )
+    # warmup: compile the decode ladder + a prefill bucket out of the timing
+    llm.generate(
+        [list(range(100, 228))], [SamplingParams(max_tokens=8, ignore_eos=True)]
+    )
+
+    tic = time.perf_counter()
+    results = llm.generate(prompts, params)
+    elapsed = time.perf_counter() - tic
+
+    total_out = sum(len(r["token_ids"]) for r in results)
+    total_in = int(in_lens.sum())
+    throughput = (total_in + total_out) / elapsed
+    print(
+        f"# in={total_in} out={total_out} time={elapsed:.2f}s "
+        f"decode_tps={total_out / elapsed:.1f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "offline_throughput_qwen3_0.6b",
+                "value": round(throughput, 1),
+                "unit": "tok/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from minisgl_tpu.server.launch import launch_server
+
+if __name__ == "__main__":
+    launch_server()

@@ -26,8 +26,10 @@ class BaseTokenizerMsg:
 @dataclass
 class TokenizeMsg(BaseTokenizerMsg):
     uid: int
-    text: Union[str, List[dict]]  # raw prompt or chat messages
+    text: Union[str, List[dict], None]  # raw prompt or chat messages
     sampling_params: SamplingParams
+    # pre-tokenized passthrough (/generate with input_ids): skips encoding
+    input_ids: Union[List[int], None] = None
 
 
 @register_msg

@@ -1,0 +1,340 @@
+"""OpenAI-compatible HTTP frontend (aiohttp + SSE).
+
+Role parity with /root/reference/python/minisgl/server/api_server.py:100-290
+(there FastAPI/uvicorn): FrontendManager maps uid -> per-request asyncio
+queue, a background listener drains the detokenizer's ZMQ stream, endpoints
+/generate, /v1/completions, /v1/chat/completions (streaming + non-streaming),
+/v1/models, /health, and client-disconnect abort (api_server.py:191-210).
+Built on aiohttp's event loop — the only async HTTP stack in the image — with
+hand-rolled SSE framing.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional, Union
+
+from aiohttp import web
+
+from minisgl_tpu.core import SamplingParams
+from minisgl_tpu.message import (
+    AbortMsg,
+    BaseTokenizerMsg,
+    BatchFrontendMsg,
+    TokenizeMsg,
+)
+from minisgl_tpu.utils import ZmqAsyncPullQueue, ZmqAsyncPushQueue, init_logger
+
+logger = init_logger(__name__, "APIServer")
+
+
+class FrontendManager:
+    """uid allocation + per-request reply queues over the ZMQ sockets."""
+
+    def __init__(self, args):
+        self.args = args
+        self.send_queue: ZmqAsyncPushQueue[BaseTokenizerMsg] = ZmqAsyncPushQueue(
+            args.zmq_tokenizer_addr, bind=True
+        )
+        self.recv_queue: ZmqAsyncPullQueue[BatchFrontendMsg] = ZmqAsyncPullQueue(
+            args.zmq_frontend_addr, bind=True
+        )
+        self.queues: Dict[int, asyncio.Queue] = {}
+        self.uid_counter = 0
+        self._listener: Optional[asyncio.Task] = None
+
+    def start(self) -> None:
+        if self._listener is None:
+            self._listener = asyncio.get_running_loop().create_task(
+                self._listen()
+            )
+
+    async def _listen(self) -> None:
+        while True:
+            batch = await self.recv_queue.get()
+            for reply in batch.data:
+                q = self.queues.get(reply.uid)
+                if q is not None:
+                    q.put_nowait(reply)
+
+    def new_user(self) -> int:
+        uid = self.uid_counter
+        self.uid_counter += 1
+        self.queues[uid] = asyncio.Queue()
+        return uid
+
+    def finish_user(self, uid: int) -> None:
+        self.queues.pop(uid, None)
+
+    async def submit(
+        self,
+        uid: int,
+        prompt: Union[str, List[dict], None],
+        params: SamplingParams,
+        input_ids: Optional[List[int]] = None,
+    ) -> None:
+        await self.send_queue.put(
+            TokenizeMsg(
+                uid=uid, text=prompt, sampling_params=params, input_ids=input_ids
+            )
+        )
+
+    async def abort(self, uid: int) -> None:
+        await self.send_queue.put(AbortMsg(uid=uid))
+        self.finish_user(uid)
+
+    async def stream_replies(self, uid: int) -> AsyncIterator:
+        q = self.queues[uid]
+        while True:
+            reply = await q.get()
+            yield reply
+            if reply.finished:
+                break
+        self.finish_user(uid)
+
+
+def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(body.get("temperature", 0.0) or 0.0),
+        top_k=int(body.get("top_k", -1) or -1),
+        top_p=float(body.get("top_p", 1.0) or 1.0),
+        max_tokens=int(
+            body.get("max_tokens")
+            or body.get("max_completion_tokens")
+            or 1024
+        ),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+    )
+
+
+async def _sse_response(request: web.Request, gen: AsyncIterator[str]):
+    resp = web.StreamResponse(
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        }
+    )
+    await resp.prepare(request)
+    async for chunk in gen:
+        await resp.write(chunk.encode())
+    await resp.write_eof()
+    return resp
+
+
+@web.middleware
+async def _error_middleware(request: web.Request, handler):
+    try:
+        return await handler(request)
+    except json.JSONDecodeError:
+        return web.json_response(
+            {"error": {"message": "invalid JSON body", "type": "invalid_request_error"}},
+            status=400,
+        )
+    except web.HTTPException:
+        raise
+    except Exception as e:  # surface scheduler/transport errors as 500 JSON
+        logger.error(f"request failed: {e!r}")
+        return web.json_response(
+            {"error": {"message": str(e), "type": "internal_error"}}, status=500
+        )
+
+
+def build_app(manager: FrontendManager, args) -> web.Application:
+    app = web.Application(middlewares=[_error_middleware])
+
+    async def _startup(app):
+        manager.start()
+
+    app.on_startup.append(_startup)
+
+    async def _collect(uid: int, request: web.Request) -> Optional[str]:
+        """Gather the full completion; abort on client disconnect
+        (reference api_server.py:191-210)."""
+        chunks: List[str] = []
+        try:
+            async for reply in manager.stream_replies(uid):
+                chunks.append(reply.incremental_output)
+        except asyncio.CancelledError:
+            await manager.abort(uid)
+            raise
+        return "".join(chunks)
+
+    async def health(request):
+        return web.json_response({"status": "ok"})
+
+    async def models(request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": args.model_name,
+                        "object": "model",
+                        "created": int(time.time()),
+                        "owned_by": "minisgl-tpu",
+                    }
+                ],
+            }
+        )
+
+    async def generate(request: web.Request):
+        body = await request.json()
+        params = _parse_sampling(body.get("sampling_params") or body)
+        uid = manager.new_user()
+        await manager.submit(
+            uid, body.get("text"), params, input_ids=body.get("input_ids")
+        )
+        if body.get("stream"):
+            async def gen():
+                async for reply in manager.stream_replies(uid):
+                    yield (
+                        "data: "
+                        + json.dumps(
+                            {
+                                "text": reply.incremental_output,
+                                "finished": reply.finished,
+                            }
+                        )
+                        + "\n\n"
+                    )
+                yield "data: [DONE]\n\n"
+
+            return await _sse_response(request, gen())
+        text = await _collect(uid, request)
+        return web.json_response({"text": text})
+
+    async def completions(request: web.Request):
+        body = await request.json()
+        params = _parse_sampling(body)
+        uid = manager.new_user()
+        await manager.submit(uid, body.get("prompt", ""), params)
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await _sse_response(
+                request,
+                _openai_stream(manager, uid, rid, args.model_name, "text"),
+            )
+        text = await _collect(uid, request)
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": args.model_name,
+                "choices": [
+                    {"index": 0, "text": text, "finish_reason": "stop"}
+                ],
+            }
+        )
+
+    async def chat_completions(request: web.Request):
+        body = await request.json()
+        params = _parse_sampling(body)
+        uid = manager.new_user()
+        await manager.submit(uid, body.get("messages", []), params)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await _sse_response(
+                request,
+                _openai_stream(manager, uid, rid, args.model_name, "chat"),
+            )
+        text = await _collect(uid, request)
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": args.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": "stop",
+                    }
+                ],
+            }
+        )
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/v1/models", models)
+    app.router.add_post("/generate", generate)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    return app
+
+
+async def _openai_stream(manager, uid, rid, model, kind):
+    created = int(time.time())
+    async for reply in manager.stream_replies(uid):
+        if kind == "chat":
+            chunk = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta": {"content": reply.incremental_output},
+                        "finish_reason": "stop" if reply.finished else None,
+                    }
+                ],
+            }
+        else:
+            chunk = {
+                "id": rid,
+                "object": "text_completion",
+                "created": created,
+                "model": model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": reply.incremental_output,
+                        "finish_reason": "stop" if reply.finished else None,
+                    }
+                ],
+            }
+        yield "data: " + json.dumps(chunk) + "\n\n"
+    yield "data: [DONE]\n\n"
+
+
+def run_api_server(manager: FrontendManager, args) -> None:
+    app = build_app(manager, args)
+    logger.info(f"serving on http://{args.host}:{args.port}")
+    web.run_app(
+        app, host=args.host, port=args.port, print=None, access_log=None
+    )
+
+
+async def run_shell(manager: FrontendManager, args) -> None:
+    """Interactive chat shell (reference api_server.py:340-400)."""
+    manager.start()
+    history: List[dict] = []
+    print("minisgl-tpu shell — /reset clears history, /exit quits")
+    loop = asyncio.get_running_loop()
+    while True:
+        try:
+            line = await loop.run_in_executor(None, input, ">>> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        line = line.strip()
+        if not line:
+            continue
+        if line == "/exit":
+            break
+        if line == "/reset":
+            history = []
+            continue
+        history.append({"role": "user", "content": line})
+        uid = manager.new_user()
+        await manager.submit(uid, history, _parse_sampling({}))
+        chunks: List[str] = []
+        async for reply in manager.stream_replies(uid):
+            print(reply.incremental_output, end="", flush=True)
+            chunks.append(reply.incremental_output)
+        print()
+        history.append({"role": "assistant", "content": "".join(chunks)})

@@ -1,0 +1,111 @@
+"""Tokenizer / detokenizer worker processes.
+
+Counterpart of /root/reference/python/minisgl/tokenizer/server.py:31-110,
+split into two roles (the reference runs N+1 combined workers): N stateless
+tokenize workers round-robin on the frontend PUSH socket, and ONE stateful
+detokenize worker (incremental per-uid streaming state must live in a single
+process). Both ack on an mp queue at startup for the launcher rendezvous
+(reference launch.py:110-111).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from minisgl_tpu.message import (
+    AbortBackendMsg,
+    AbortMsg,
+    BatchBackendMsg,
+    BatchDetokenizeMsg,
+    BatchFrontendMsg,
+    BaseTokenizerMsg,
+    TokenizeMsg,
+    UserMsg,
+    UserReply,
+)
+from minisgl_tpu.utils import ZmqPullQueue, ZmqPushQueue, init_logger
+
+if TYPE_CHECKING:
+    from minisgl_tpu.server.args import ServerArgs
+
+logger = init_logger(__name__, "Tokenizer")
+
+
+def tokenize_worker(args: "ServerArgs", worker_id: int, ack_queue) -> None:
+    from minisgl_tpu.server.launch import _watch_parent
+    from minisgl_tpu.tokenizer.tokenize import TokenizeManager
+
+    _watch_parent()
+
+    manager = TokenizeManager(args.model_path)
+    recv: ZmqPullQueue[BaseTokenizerMsg] = ZmqPullQueue(
+        args.zmq_tokenizer_addr, bind=False
+    )
+    send: ZmqPushQueue[BatchBackendMsg] = ZmqPushQueue(
+        args.zmq_backend_addr, bind=False
+    )
+    ack_queue.put(f"tokenizer-{worker_id}")
+    try:
+        while True:
+            msgs = recv.drain(first_block=True)
+            out = []
+            for msg in msgs:
+                if isinstance(msg, TokenizeMsg):
+                    if msg.input_ids is not None:
+                        import numpy as np
+
+                        input_ids = np.asarray(msg.input_ids, np.int32)
+                    else:
+                        input_ids = manager.tokenize(msg.text)
+                    out.append(
+                        UserMsg(
+                            uid=msg.uid,
+                            input_ids=input_ids,
+                            sampling_params=msg.sampling_params,
+                        )
+                    )
+                elif isinstance(msg, AbortMsg):
+                    out.append(AbortBackendMsg(uid=msg.uid))
+                else:
+                    raise NotImplementedError(f"unknown message {type(msg)}")
+            if out:
+                send.put(BatchBackendMsg(data=out))
+    except KeyboardInterrupt:
+        pass
+
+
+def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
+    from minisgl_tpu.server.launch import _watch_parent
+    from minisgl_tpu.tokenizer.detokenize import DetokenizeManager
+    from minisgl_tpu.utils import cached_load_tokenizer
+
+    _watch_parent()
+
+    manager = DetokenizeManager(cached_load_tokenizer(args.model_path))
+    recv: ZmqPullQueue[BatchDetokenizeMsg] = ZmqPullQueue(
+        args.zmq_detokenizer_addr, bind=True
+    )
+    send: ZmqPushQueue[BatchFrontendMsg] = ZmqPushQueue(
+        args.zmq_frontend_addr, bind=False
+    )
+    ack_queue.put("detokenizer")
+    try:
+        while True:
+            batches = recv.drain(first_block=True)
+            replies = []
+            for batch in batches:
+                for msg in batch.data:
+                    text = manager.detokenize(
+                        msg.uid, msg.next_token, msg.finished
+                    )
+                    replies.append(
+                        UserReply(
+                            uid=msg.uid,
+                            incremental_output=text,
+                            finished=msg.finished,
+                        )
+                    )
+            if replies:
+                send.put(BatchFrontendMsg(data=replies))
+    except KeyboardInterrupt:
+        pass
