@@ -124,8 +124,9 @@ def _attn_kernel(
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
-                k = kv[:, 2 * h, :]  # [Tc, hd]
-                v = kv[:, 2 * h + 1, :]
+                # cast up from the pool dtype (bf16 or fp8 KV) for the MXU
+                k = kv[:, 2 * h, :].astype(q_ref.dtype)  # [Tc, hd]
+                v = kv[:, 2 * h + 1, :].astype(q_ref.dtype)
                 for g in range(G):
                     j = h * G + g
                     s = jax.lax.dot_general(

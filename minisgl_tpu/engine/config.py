@@ -35,6 +35,12 @@ class EngineConfig:
     use_dummy_weight: bool = False
     max_seq_len_override: Optional[int] = None
     num_page_override: Optional[int] = None
+    # weight-only quantization: "none" | "int8" (per-output-channel scales,
+    # dequant fused into the matmul epilogue; BASELINE.md north star)
+    quantization: str = "none"
+    # KV pool storage dtype: "auto" (= model dtype) | "bf16" | "fp8"
+    # (float8_e4m3, dequant fused into attention)
+    kv_dtype: str = "auto"
     # prefill token-count buckets are powers of two up to max_extend_tokens
     min_prefill_bucket: int = 128
 
@@ -53,6 +59,12 @@ class EngineConfig:
         if self.dtype != "auto":
             return self.dtype
         return "float32" if self.model_config.dtype == "float32" else "bfloat16"
+
+    @property
+    def resolved_kv_dtype(self) -> str:
+        if self.kv_dtype != "auto":
+            return self.kv_dtype
+        return "float32" if self.resolved_dtype == "float32" else "bf16"
 
     @property
     def max_seq_len(self) -> int:

@@ -53,10 +53,17 @@ class Engine:
         self.config = config
         self.mesh_info = mesh_info or create_mesh(config.tp_size, config.dp_size)
         self.model_config = config.model_config
-        self.model = create_model(self.model_config, config.tp_size)
+        self.model = create_model(
+            self.model_config, config.tp_size, quant=config.quantization
+        )
         self.dtype = (
             jnp.float32 if config.resolved_dtype == "float32" else jnp.bfloat16
         )
+        self.kv_dtype = {
+            "float32": jnp.float32,
+            "bf16": jnp.bfloat16,
+            "fp8": jnp.float8_e4m3fn,
+        }[config.resolved_kv_dtype]
 
         if config.use_dummy_weight:
             self.params = init_dummy_params(self.model.params_spec, self.mesh_info)
@@ -99,7 +106,7 @@ class Engine:
 
     def _kv_bytes_per_page_per_device(self) -> int:
         cfg = self.config
-        itemsize = jnp.dtype(self.dtype).itemsize
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
         kvh_local = self.model.dims.kv_heads_local
         return (
             2  # K and V
@@ -153,7 +160,7 @@ class Engine:
         # allocate directly on-device in shards (no host-side global buffer)
         make_pool = jax.jit(
             lambda: jnp.zeros(
-                (L * P_layer, cfg.page_size, 2 * kvh, hd), self.dtype
+                (L * P_layer, cfg.page_size, 2 * kvh, hd), self.kv_dtype
             ),
             out_shardings=kv_sharding,
         )

@@ -51,6 +51,50 @@ class ParamInfo:
     post_transform: Optional[Transform] = None
     # Computed buffers (e.g. RoPE cos/sin cache) provide an init instead.
     init: Optional[Callable[[], np.ndarray]] = None
+    # Weight-only quantization: "int8" stores this tensor as int8 with
+    # per-output-channel scales in a sibling "<path>@scale" entry (the
+    # contraction axis is ``shape[-2]``; scales have shape[..., 1, out]).
+    quant: Optional[str] = None
+    # Set on the auto-generated "<path>@scale" entry; names the weight it
+    # is derived from (loader fills both from one assembly pass).
+    scale_of: Optional[str] = None
+
+
+QUANT_SKIP_KEYS = ("embed", "lm_head", "rope_cache")  # quality-critical
+
+
+def add_scale_entries(spec: "ParamsSpec") -> "ParamsSpec":
+    """For every quantized weight add its derived @scale ParamInfo."""
+    import jax.numpy as jnp
+
+    out: ParamsSpec = {}
+    for path, info in spec.items():
+        out[path] = info
+        if info.quant == "int8":
+            in_axis = len(info.shape) - 2
+            scale_shape = tuple(
+                1 if i == in_axis else d for i, d in enumerate(info.shape)
+            )
+            scale_spec = P(
+                *(
+                    None if i == in_axis else e
+                    for i, e in enumerate(
+                        tuple(info.spec) + (None,) * (len(info.shape) - len(tuple(info.spec)))
+                    )
+                )
+            )
+            out[path + "@scale"] = ParamInfo(
+                scale_shape, jnp.float32, scale_spec, scale_of=path
+            )
+    return out
+
+
+def quantize_int8(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8: contraction axis is -2."""
+    scale = np.max(np.abs(arr), axis=-2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-8).astype(np.float32)
+    q = np.clip(np.rint(arr / scale), -127, 127).astype(np.int8)
+    return q, scale
 
 
 ParamsSpec = Dict[str, ParamInfo]

@@ -54,8 +54,8 @@ class Model:
         )
 
 
-def create_model(cfg: ModelConfig, tp_size: int) -> Model:
+def create_model(cfg: ModelConfig, tp_size: int, quant: str = "none") -> Model:
     extras = resolve_extras(cfg)
     dims = ModelDims.build(cfg, tp_size)
-    spec = build_param_specs(cfg, dims, extras)
+    spec = build_param_specs(cfg, dims, extras, quant=quant)
     return Model(cfg=cfg, dims=dims, extras=extras, params_spec=spec)

@@ -97,7 +97,7 @@ class ModelExtras:
 
 
 def build_param_specs(
-    cfg: ModelConfig, dims: ModelDims, extras: ModelExtras
+    cfg: ModelConfig, dims: ModelDims, extras: ModelExtras, quant: str = "none"
 ) -> ParamsSpec:
     L = cfg.num_layers
     H = cfg.hidden_size
@@ -143,6 +143,10 @@ def build_param_specs(
     # ---- stacked per-layer tensors (leading L axis) ----
     pre = "model.layers.{i}."
 
+    # weight-only quantization applies to the big per-layer matmul weights;
+    # embeddings / lm head / norms / biases stay high precision
+    _QUANT_NAMES = {"qkv_w", "o_w", "gate_up_w", "down_w", "moe_w1", "moe_w2"}
+
     def stacked(
         name: str,
         shape: tuple,
@@ -164,6 +168,7 @@ def build_param_specs(
             merge_axis=-1,
             stack=True,
             post_transform=post,
+            quant="int8" if (quant == "int8" and name in _QUANT_NAMES) else None,
         )
 
     stacked(
@@ -256,6 +261,7 @@ def build_param_specs(
             merge_axis=-1,
             stack=True,
             post_transform=make_shard_interleave([Im, Im], tp),
+            quant="int8" if quant == "int8" else None,
         )
         spec["layers/moe_w2"] = ParamInfo(
             (L, E, Im, H),
@@ -264,9 +270,12 @@ def build_param_specs(
             sources=w2_srcs,
             merge_axis=-1,
             stack=True,
+            quant="int8" if quant == "int8" else None,
         )
 
-    return spec
+    from minisgl_tpu.layers.params import add_scale_entries
+
+    return add_scale_entries(spec)
 
 
 # ------------------------------ forward ------------------------------------
@@ -292,6 +301,20 @@ def _maybe_psum(x: jax.Array, tp: int) -> jax.Array:
     return jax.lax.psum(x, MODEL_AXIS) if tp > 1 else x
 
 
+def _mm(x: jax.Array, lp: Dict[str, jax.Array], name: str) -> jax.Array:
+    """Matmul with transparent weight-only-int8 dequant: int8 weights are
+    fed to the MXU as bf16 (XLA fuses the convert into the dot read) and the
+    per-output-channel scale lands in the f32 epilogue."""
+    w = lp[name]
+    scale = lp.get(name + "@scale")
+    if w.dtype == jnp.int8:
+        w = w.astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if scale is not None:
+        y = y * scale  # [1, out] broadcasts over [T, out]
+    return y
+
+
 def _moe_mlp(
     x: jax.Array,  # [T, H]
     router_w: jax.Array,  # [H, E] replicated
@@ -300,6 +323,8 @@ def _moe_mlp(
     top_k: int,
     renormalize: bool,
     act_fn,
+    w1_scale: Optional[jax.Array] = None,  # [E, 1, 2*Im/tp]
+    w2_scale: Optional[jax.Array] = None,  # [E, 1, H]
 ) -> jax.Array:
     """TP-sharded MoE via ragged grouped matmul (jax.lax.ragged_dot), the XLA
     counterpart of the reference's Triton grouped GEMM (moe/fused.py:127-227,
@@ -322,13 +347,24 @@ def _moe_mlp(
     x_sorted = x_rep[order]
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
+    e_sorted = flat_e[order]
     h = jax.lax.ragged_dot(
-        x_sorted, w1, group_sizes, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    h = act_fn(h)
-    out_sorted = jax.lax.ragged_dot(
-        h, w2, group_sizes, preferred_element_type=jnp.float32
+        x_sorted,
+        w1.astype(x.dtype) if w1.dtype == jnp.int8 else w1,
+        group_sizes,
+        preferred_element_type=jnp.float32,
     )
+    if w1_scale is not None:  # per-row expert scale (rows sorted by expert)
+        h = h * w1_scale[:, 0, :][e_sorted]
+    h = act_fn(h.astype(x.dtype))
+    out_sorted = jax.lax.ragged_dot(
+        h,
+        w2.astype(x.dtype) if w2.dtype == jnp.int8 else w2,
+        group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    if w2_scale is not None:
+        out_sorted = out_sorted * w2_scale[:, 0, :][e_sorted]
     out = out_sorted[inv_order].reshape(T, top_k, H)
     out = jnp.sum(out * topk_p[:, :, None], axis=1)
     return out.astype(x.dtype)
@@ -367,7 +403,7 @@ def decoder_forward(
 
         x, residual = fused_add_rmsnorm(x, residual, lp["input_norm_w"], eps)
 
-        qkv = jnp.dot(x, lp["qkv_w"], preferred_element_type=jnp.float32)
+        qkv = _mm(x, lp, "qkv_w")
         if "qkv_b" in lp:
             qkv = qkv + lp["qkv_b"].astype(jnp.float32)
         qkv = qkv.astype(x.dtype)
@@ -390,9 +426,7 @@ def decoder_forward(
             page_table=meta.page_table + layer_id * pages_per_layer
         )
         o = attn_impl(q, kv_pool, meta_l)
-        o = jnp.dot(
-            o.reshape(T, nql * hd), lp["o_w"], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        o = _mm(o.reshape(T, nql * hd), lp, "o_w").astype(x.dtype)
         o = _maybe_psum(o, tp)
 
         x, residual = fused_add_rmsnorm(o, residual, lp["post_norm_w"], eps)
@@ -406,15 +440,13 @@ def decoder_forward(
                 cfg.num_experts_per_tok,
                 cfg.norm_topk_prob,
                 act_fn,
+                lp.get("moe_w1@scale"),
+                lp.get("moe_w2@scale"),
             )
         else:
-            gate_up = jnp.dot(
-                x, lp["gate_up_w"], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            gate_up = _mm(x, lp, "gate_up_w").astype(x.dtype)
             y = act_fn(gate_up)
-            y = jnp.dot(
-                y, lp["down_w"], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            y = _mm(y, lp, "down_w").astype(x.dtype)
         y = _maybe_psum(y, tp)
 
         return (y, residual, kv_pool, layer_id + 1), None

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from minisgl_tpu.layers.params import HFSource, ParamInfo, ParamsSpec
+from minisgl_tpu.layers.params import (
+    HFSource,
+    ParamInfo,
+    ParamsSpec,
+    quantize_int8,
+)
 from minisgl_tpu.parallel.mesh import MeshInfo
 from minisgl_tpu.utils import init_logger, list_safetensor_files
 
@@ -87,13 +92,25 @@ def load_params(
     idx = _SafetensorIndex(model_dir)
     params: Params = {}
     for path, info in spec.items():
+        if info.scale_of is not None:
+            continue  # produced alongside its weight below
         if info.init is not None:
             arr = info.init()
         else:
             arr = assemble_param(idx, info)
-        params[path] = jax.device_put(
-            jnp.asarray(arr, dtype=info.dtype), mesh_info.sharding(info.spec)
-        )
+        if info.quant == "int8":
+            q, scale = quantize_int8(np.asarray(arr, np.float32))
+            params[path] = jax.device_put(
+                jnp.asarray(q), mesh_info.sharding(info.spec)
+            )
+            sinfo = spec[path + "@scale"]
+            params[path + "@scale"] = jax.device_put(
+                jnp.asarray(scale, sinfo.dtype), mesh_info.sharding(sinfo.spec)
+            )
+        else:
+            params[path] = jax.device_put(
+                jnp.asarray(arr, dtype=info.dtype), mesh_info.sharding(info.spec)
+            )
         del arr
     total = sum(p.nbytes for p in params.values())
     logger.info(f"loaded {len(params)} params, {total / 1e9:.2f} GB (global)")
@@ -109,6 +126,13 @@ def init_dummy_params(
     for path, info in spec.items():
         if info.init is not None:
             arr = jnp.asarray(info.init(), dtype=info.dtype)
+        elif info.quant == "int8":
+            arr = jnp.asarray(
+                rng.integers(-127, 128, info.shape, dtype=np.int64),
+                dtype=jnp.int8,
+            )
+        elif info.scale_of is not None:
+            arr = jnp.full(info.shape, 0.02 / 127.0, dtype=info.dtype)
         else:
             # small-scale normal init keeps logits finite through deep stacks
             arr = jnp.asarray(

@@ -53,6 +53,9 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
         default="auto",
     )
     p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--quantization", choices=["none", "int8"], default="none")
+    p.add_argument("--kv-dtype", dest="kv_dtype",
+                   choices=["auto", "bf16", "fp8"], default="auto")
     p.add_argument("--memory-ratio", type=float, default=0.9)
     p.add_argument("--max-seq-len", dest="max_seq_len_override", type=int)
     p.add_argument("--num-pages", dest="num_page_override", type=int)
