@@ -22,6 +22,12 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: bench reruns (and the driver's round-end
+# invocation) skip the multi-minute bucket compiles
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")
+)
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 MODEL = os.path.join(REPO, "assets", "qwen3-0.6b")
 
@@ -54,6 +60,7 @@ def main() -> None:
         cache_type="radix",
     )
     # warmup: compile the decode ladder + a prefill bucket out of the timing
+    llm.engine.warmup()
     llm.generate(
         [list(range(100, 228))], [SamplingParams(max_tokens=8, ignore_eos=True)]
     )

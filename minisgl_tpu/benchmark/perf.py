@@ -1,0 +1,51 @@
+"""Device micro-benchmark harness.
+
+TPU counterpart of /root/reference/python/minisgl/benchmark/perf.py:10-80
+(CUDA-event timing inside captured graphs + bandwidth comparison): times a
+jitted callable with block_until_ready fencing, reports per-call latency and
+achieved bytes/s against a caller-supplied bytes-moved estimate.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+def time_fn(
+    fn: Callable[[], jax.Array],
+    *,
+    warmup: int = 3,
+    iters: int = 20,
+) -> float:
+    """Median seconds per call of ``fn`` (must return a device array)."""
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def report(
+    name: str,
+    seconds: float,
+    *,
+    bytes_moved: Optional[int] = None,
+    flops: Optional[int] = None,
+) -> str:
+    parts = [f"{name}: {seconds * 1e6:9.1f} us"]
+    if bytes_moved is not None:
+        parts.append(f"{bytes_moved / seconds / 1e9:8.1f} GB/s")
+    if flops is not None:
+        parts.append(f"{flops / seconds / 1e12:7.2f} TFLOP/s")
+    line = "  ".join(parts)
+    print(line, flush=True)
+    return line

@@ -1,0 +1,47 @@
+"""Benchmark client metric math (counterpart of the reference's client-side
+stats, /root/reference/python/minisgl/benchmark/client.py:350-383)."""
+
+import numpy as np
+
+from minisgl_tpu.benchmark import (
+    BenchOneResult,
+    process_results,
+    read_jsonl_trace,
+    scale_traces,
+)
+
+
+def _mk(send, tics):
+    return BenchOneResult(send_time=send, tics=list(tics))
+
+
+def test_process_results_basic():
+    # req A: sent t=0, tokens at 0.1, 0.2, 0.3; req B: sent 0.05, token 0.25
+    res = [
+        _mk(0.0, [0.1, 0.2, 0.3]),
+        _mk(0.05, [0.25]),
+    ]
+    st = process_results(res)
+    assert st.num_requests == 2
+    assert st.num_tokens == 4
+    np.testing.assert_allclose(st.ttft[0], 1000 * (0.1 + 0.2) / 2)
+    np.testing.assert_allclose(st.tpot[0], 100.0)  # (0.3-0.1)/2 s -> ms
+    np.testing.assert_allclose(st.duration, 0.3, atol=1e-9)
+    np.testing.assert_allclose(st.token_throughput, 4 / 0.3)
+
+
+def test_empty_results_filtered():
+    st = process_results([_mk(0.0, [0.5]), _mk(0.0, [])])
+    assert st.num_requests == 1
+
+
+def test_trace_reader_and_scaling(tmp_path):
+    p = tmp_path / "trace.jsonl"
+    p.write_text(
+        '{"timestamp": 100.0, "input_length": 10, "output_length": 5}\n'
+        '{"timestamp": 101.5, "input_length": 20, "output_length": 6}\n'
+    )
+    rows = read_jsonl_trace(str(p))
+    assert rows == [(0.0, 10, 5), (1.5, 20, 6)]
+    scaled = scale_traces(rows, 2.0)
+    assert scaled[1][0] == 3.0
