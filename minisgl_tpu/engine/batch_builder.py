@@ -35,6 +35,12 @@ def pages_bucket(n: int, cap: int, floor: int = 8) -> int:
     return min(cap, max(floor, next_power_of_2(n)))
 
 
+# prefill batch-row buckets: the row count only sizes small metadata arrays
+# (and skipped kernel programs), so a coarse ladder keeps the number of
+# compiled (B_pad, T_pad) prefill variants tiny
+PREFILL_BS_BUCKETS = (4, 16, 64, 256)
+
+
 def build_batch_metadata(
     batch: Batch,
     page_lists: List[List[int]],
@@ -43,6 +49,7 @@ def build_batch_metadata(
     token_buckets: Sequence[int],
     pages_cap: int,
     q_align: int = 1,
+    fixed_pages: bool = False,
 ) -> BatchMetadata:
     # q_align > 1 pads every request query segment to that multiple so the
     # Pallas kernel block index maps stay expressible
@@ -59,11 +66,21 @@ def build_batch_metadata(
         T_pad = B_pad
     else:
         T = sum(aligned(r.extend_len) for r in reqs)
-        B_pad = next_power_of_2(B)
+        B_pad = pick_bucket(
+            B, [b for b in PREFILL_BS_BUCKETS if b <= len(page_lists)] or [B]
+        ) if B <= max(PREFILL_BS_BUCKETS) else next_power_of_2(B)
         T_pad = pick_bucket(T, token_buckets)
 
-    max_pages = max((len(page_lists[r.table_idx]) for r in reqs), default=1)
-    PB = pages_bucket(max_pages, pages_cap)
+    if fixed_pages:
+        # one executable per (phase, B_pad, T_pad): the page-table width is
+        # pinned to the (pow2-padded) cap — the Pallas kernels scan only to
+        # each row's kv bound, so width costs metadata bytes, not compute
+        # (the role CUDA graphs' static max-shape buffers play in the
+        # reference, engine/graph.py:20-46)
+        PB = next_power_of_2(pages_cap)
+    else:
+        max_pages = max((len(page_lists[r.table_idx]) for r in reqs), default=1)
+        PB = pages_bucket(max_pages, pages_cap)
 
     slot_ids = np.zeros(B_pad, np.int32)
     seq_lens = np.ones(B_pad, np.int32)

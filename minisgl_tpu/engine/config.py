@@ -97,6 +97,14 @@ class SchedulerConfig(EngineConfig):
     cache_type: str = "radix"
     offline_mode: bool = False
     schedule_policy: str = "fcfs"
+    # multi-host continuous batching: every host runs one scheduler in
+    # lockstep (io.py counted-broadcast over tcp); node 0 owns the frontend
+    num_nodes: int = 1
+    node_rank: int = 0
+    # host:port of node 0 for the lockstep broadcast + jax.distributed
+    master_addr: str = "127.0.0.1"
+    lockstep_port: int = 31000
+    dist_init_port: int = 31100
 
     _unique_suffix: str = field(default_factory=lambda: f".pid={__import__('os').getpid()}")
 
@@ -111,6 +119,18 @@ class SchedulerConfig(EngineConfig):
     @property
     def zmq_scheduler_broadcast_addr(self) -> str:
         return "ipc:///tmp/minisgl_tpu_2" + self._unique_suffix
+
+    @property
+    def lockstep_pub_addr(self) -> str:
+        return f"tcp://{self.master_addr}:{self.lockstep_port}"
+
+    @property
+    def lockstep_ready_addr(self) -> str:
+        return f"tcp://{self.master_addr}:{self.lockstep_port + 1}"
+
+    @property
+    def dist_init_addr(self) -> str:
+        return f"{self.master_addr}:{self.dist_init_port}"
 
     @property
     def max_forward_len(self) -> int:

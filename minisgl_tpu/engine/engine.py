@@ -18,6 +18,7 @@ Departures from the reference's per-GPU-process design:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -89,6 +90,9 @@ class Engine:
         from minisgl_tpu.attention.pallas_backend import QUERY_ALIGN
 
         self.q_align = QUERY_ALIGN.get(backend, 1)
+        # pallas-family backends pin the page-table width (compile-variant
+        # control); the xla fallback gathers all PB pages so keep it tight
+        self.fixed_pages = backend != "xla"
         hd = self.model_config.head_dim
         self._attn = {
             phase: create_attention_backend(
@@ -133,10 +137,22 @@ class Engine:
             if free is not None:
                 avail = free if avail is None else min(avail, free)
         if avail is None:
-            # CPU / no stats: size for max_seq_len * max_running_req, capped
-            logger.warning("no device memory stats; using conservative KV size")
-            return min(
-                4096, cfg.pages_per_req * max(4, cfg.max_running_req // 8)
+            if jax.default_backend() == "cpu":
+                # tests: size for a fraction of max_running_req
+                return min(
+                    4096, cfg.pages_per_req * max(4, cfg.max_running_req // 8)
+                )
+            # TPU without memory_stats (e.g. tunneled device): budget from
+            # the chip's known HBM minus what the params already hold
+            # (reference engine.py:148-189 probes allocations instead)
+            hbm = float(os.environ.get("MSLT_HBM_GB", "16")) * 1e9
+            param_bytes = sum(p.nbytes for p in self.params.values()) / max(
+                1, self.mesh_info.tp_size * self.mesh_info.dp_size
+            )
+            avail = hbm * cfg.memory_ratio - param_bytes
+            logger.warning(
+                f"no device memory stats; budgeting KV from {hbm / 1e9:.0f} GB "
+                f"HBM - {param_bytes / 1e9:.2f} GB params"
             )
         num_pages = int(avail // page_bytes)
         if num_pages <= 0:
@@ -214,6 +230,7 @@ class Engine:
             self.token_buckets,
             self.pages_cap,
             q_align=self.q_align,
+            fixed_pages=self.fixed_pages,
         )
 
     def forward_batch(self, batch: Batch) -> ForwardOutput:

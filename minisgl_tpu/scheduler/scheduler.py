@@ -51,6 +51,17 @@ ForwardData = Tuple[Batch, ForwardOutput]
 class Scheduler(SchedulerIOMixin):
     def __init__(self, config: SchedulerConfig):
         self.config = config
+        if config.num_nodes > 1:
+            # multi-host: one scheduler per host, chips form one global mesh
+            # (ICI intra-host, DCN across); the lockstep broadcast (io.py)
+            # keeps every host's batch schedule byte-identical
+            import jax
+
+            jax.distributed.initialize(
+                config.dist_init_addr,
+                num_processes=config.num_nodes,
+                process_id=config.node_rank,
+            )
         self.engine = Engine(config)
 
         self.table_manager = TableManager(config.max_running_req)

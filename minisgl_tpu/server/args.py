@@ -66,6 +66,11 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     p.add_argument("--dummy-weight", dest="use_dummy_weight",
                    action="store_true")
     p.add_argument("--num-tokenizers", type=int, default=2)
+    p.add_argument("--num-nodes", type=int, default=1)
+    p.add_argument("--node-rank", type=int, default=0)
+    p.add_argument("--master-addr", default="127.0.0.1")
+    p.add_argument("--lockstep-port", type=int, default=31000)
+    p.add_argument("--dist-init-port", type=int, default=31100)
     p.add_argument("--served-model-name")
     ns = p.parse_args(argv)
     validate_attn_backend(ns.attention_backend)
