@@ -38,6 +38,15 @@ class AbortMsg(BaseTokenizerMsg):
     uid: int
 
 
+@register_msg
+@dataclass
+class ProfileMsg(BaseTokenizerMsg):
+    """Start/stop an on-demand jax.profiler device trace in the scheduler."""
+
+    action: str  # "start" | "stop"
+    log_dir: str = "/tmp/minisgl_tpu_trace"
+
+
 # ---- backend-bound (tokenizer -> scheduler) --------------------------------
 
 
@@ -57,6 +66,13 @@ class UserMsg(BaseBackendMsg):
 @dataclass
 class AbortBackendMsg(BaseBackendMsg):
     uid: int
+
+
+@register_msg
+@dataclass
+class ProfileBackendMsg(BaseBackendMsg):
+    action: str
+    log_dir: str = "/tmp/minisgl_tpu_trace"
 
 
 @register_msg
@@ -112,6 +128,8 @@ class BatchFrontendMsg(BaseFrontendMsg):
 __all__ = [
     "AbortBackendMsg",
     "AbortMsg",
+    "ProfileMsg",
+    "ProfileBackendMsg",
     "BaseBackendMsg",
     "BaseFrontendMsg",
     "BaseTokenizerMsg",

@@ -403,51 +403,58 @@ def decoder_forward(
 
         x, residual = fused_add_rmsnorm(x, residual, lp["input_norm_w"], eps)
 
-        qkv = _mm(x, lp, "qkv_w")
-        if "qkv_b" in lp:
-            qkv = qkv + lp["qkv_b"].astype(jnp.float32)
-        qkv = qkv.astype(x.dtype)
-        T = qkv.shape[0]
-        q, k, v = jnp.split(qkv, [nql * hd, (nql + nkl) * hd], axis=-1)
-        q = q.reshape(T, nql, hd)
-        k = k.reshape(T, nkl, hd)
-        v = v.reshape(T, nkl, hd)
-        if extras.qk_norm:
-            q = rmsnorm(q, lp["q_norm_w"], eps)
-            k = rmsnorm(k, lp["k_norm_w"], eps)
-        q = apply_rope(q, cos_sin)
-        k = apply_rope(k, cos_sin)
+        # named scopes mark the profiler trace the way the reference's nvtx
+        # decorators do (utils/torch_utils.py:23-37, models/utils.py:44,118)
+        with jax.named_scope("attn"):
+            qkv = _mm(x, lp, "qkv_w")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(x.dtype)
+            T = qkv.shape[0]
+            q, k, v = jnp.split(qkv, [nql * hd, (nql + nkl) * hd], axis=-1)
+            q = q.reshape(T, nql, hd)
+            k = k.reshape(T, nkl, hd)
+            v = v.reshape(T, nkl, hd)
+            if extras.qk_norm:
+                q = rmsnorm(q, lp["q_norm_w"], eps)
+                k = rmsnorm(k, lp["k_norm_w"], eps)
+            q = apply_rope(q, cos_sin)
+            k = apply_rope(k, cos_sin)
 
-        kv_pool = store_kv(
-            kv_pool, layer_id, pages_per_layer, meta.out_slots, k, v
-        )
-        # the layer "slice" of the pool is an integer page offset (ops/kv.py)
-        meta_l = meta._replace(
-            page_table=meta.page_table + layer_id * pages_per_layer
-        )
-        o = attn_impl(q, kv_pool, meta_l)
-        o = _mm(o.reshape(T, nql * hd), lp, "o_w").astype(x.dtype)
-        o = _maybe_psum(o, tp)
+            with jax.named_scope("store_kv"):
+                kv_pool = store_kv(
+                    kv_pool, layer_id, pages_per_layer, meta.out_slots, k, v
+                )
+            # the layer "slice" of the pool is an integer page offset
+            # (ops/kv.py)
+            meta_l = meta._replace(
+                page_table=meta.page_table + layer_id * pages_per_layer
+            )
+            with jax.named_scope("paged_attention"):
+                o = attn_impl(q, kv_pool, meta_l)
+            o = _mm(o.reshape(T, nql * hd), lp, "o_w").astype(x.dtype)
+            o = _maybe_psum(o, tp)
 
         x, residual = fused_add_rmsnorm(o, residual, lp["post_norm_w"], eps)
 
-        if cfg.is_moe:
-            y = _moe_mlp(
-                x,
-                lp["router_w"],
-                lp["moe_w1"],
-                lp["moe_w2"],
-                cfg.num_experts_per_tok,
-                cfg.norm_topk_prob,
-                act_fn,
-                lp.get("moe_w1@scale"),
-                lp.get("moe_w2@scale"),
-            )
-        else:
-            gate_up = _mm(x, lp, "gate_up_w").astype(x.dtype)
-            y = act_fn(gate_up)
-            y = _mm(y, lp, "down_w").astype(x.dtype)
-        y = _maybe_psum(y, tp)
+        with jax.named_scope("moe" if cfg.is_moe else "mlp"):
+            if cfg.is_moe:
+                y = _moe_mlp(
+                    x,
+                    lp["router_w"],
+                    lp["moe_w1"],
+                    lp["moe_w2"],
+                    cfg.num_experts_per_tok,
+                    cfg.norm_topk_prob,
+                    act_fn,
+                    lp.get("moe_w1@scale"),
+                    lp.get("moe_w2@scale"),
+                )
+            else:
+                gate_up = _mm(x, lp, "gate_up_w").astype(x.dtype)
+                y = act_fn(gate_up)
+                y = _mm(y, lp, "down_w").astype(x.dtype)
+            y = _maybe_psum(y, tp)
 
         return (y, residual, kv_pool, layer_id + 1), None
 

@@ -34,6 +34,7 @@ from minisgl_tpu.message import (
     BatchBackendMsg,
     DetokenizeMsg,
     ExitMsg,
+    ProfileBackendMsg,
     UserMsg,
 )
 from minisgl_tpu.scheduler.cache import CacheManager
@@ -222,6 +223,18 @@ class Scheduler(SchedulerIOMixin):
             self.prefill_manager.add_one_req(
                 msg.uid, msg.input_ids, msg.sampling_params
             )
+        elif isinstance(msg, ProfileBackendMsg):
+            from minisgl_tpu.utils.profiling import (
+                start_device_trace,
+                stop_device_trace,
+            )
+
+            if msg.action == "start":
+                ok = start_device_trace(msg.log_dir)
+                logger.info(f"profiler start -> {msg.log_dir} (ok={ok})")
+            else:
+                out = stop_device_trace()
+                logger.info(f"profiler stopped -> {out}")
         elif isinstance(msg, AbortBackendMsg):
             req = self.prefill_manager.abort_req(msg.uid)
             req = req or self.decode_manager.abort_req(msg.uid)

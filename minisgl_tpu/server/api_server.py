@@ -24,6 +24,7 @@ from minisgl_tpu.message import (
     AbortMsg,
     BaseTokenizerMsg,
     BatchFrontendMsg,
+    ProfileMsg,
     TokenizeMsg,
 )
 from minisgl_tpu.utils import ZmqAsyncPullQueue, ZmqAsyncPushQueue, init_logger
@@ -259,6 +260,19 @@ def build_app(manager: FrontendManager, args) -> web.Application:
             }
         )
 
+    async def profile(request: web.Request):
+        """POST {"action": "start"|"stop", "log_dir": ...} — on-demand
+        jax.profiler device trace in the scheduler process."""
+        body = await request.json()
+        await manager.send_queue.put(
+            ProfileMsg(
+                action=body.get("action", "start"),
+                log_dir=body.get("log_dir", "/tmp/minisgl_tpu_trace"),
+            )
+        )
+        return web.json_response({"ok": True})
+
+    app.router.add_post("/debug/profile", profile)
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", models)
     app.router.add_post("/generate", generate)

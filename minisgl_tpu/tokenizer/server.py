@@ -15,6 +15,8 @@ from typing import TYPE_CHECKING
 from minisgl_tpu.message import (
     AbortBackendMsg,
     AbortMsg,
+    ProfileBackendMsg,
+    ProfileMsg,
     BatchBackendMsg,
     BatchDetokenizeMsg,
     BatchFrontendMsg,
@@ -66,6 +68,10 @@ def tokenize_worker(args: "ServerArgs", worker_id: int, ack_queue) -> None:
                     )
                 elif isinstance(msg, AbortMsg):
                     out.append(AbortBackendMsg(uid=msg.uid))
+                elif isinstance(msg, ProfileMsg):
+                    out.append(
+                        ProfileBackendMsg(action=msg.action, log_dir=msg.log_dir)
+                    )
                 else:
                     raise NotImplementedError(f"unknown message {type(msg)}")
             if out:
