@@ -40,6 +40,7 @@ from minisgl_tpu.layers.params import (
     t_transpose,
 )
 from minisgl_tpu.models.config import ModelConfig
+from minisgl_tpu.moe import create_moe_backend
 from minisgl_tpu.ops.activation import ACT2FN
 from minisgl_tpu.ops.kv import store_kv
 from minisgl_tpu.ops.normalization import fused_add_rmsnorm, rmsnorm
@@ -47,8 +48,11 @@ from minisgl_tpu.ops.rope import apply_rope, compute_rope_cache
 from minisgl_tpu.parallel.mesh import MODEL_AXIS
 from minisgl_tpu.utils import div_even
 
-# attn_impl(q, k_pool, v_pool, layer_id, meta) -> o
+# attn_impl(q, kv_pool, meta) -> o
 AttnImpl = Callable[..., jax.Array]
+
+# the grouped-GEMM MoE implementation (minisgl_tpu/moe)
+_MOE_IMPL = create_moe_backend()
 
 
 @dataclass(frozen=True)
@@ -315,59 +319,6 @@ def _mm(x: jax.Array, lp: Dict[str, jax.Array], name: str) -> jax.Array:
     return y
 
 
-def _moe_mlp(
-    x: jax.Array,  # [T, H]
-    router_w: jax.Array,  # [H, E] replicated
-    w1: jax.Array,  # [E, H, 2*Im/tp] local
-    w2: jax.Array,  # [E, Im/tp, H] local
-    top_k: int,
-    renormalize: bool,
-    act_fn,
-    w1_scale: Optional[jax.Array] = None,  # [E, 1, 2*Im/tp]
-    w2_scale: Optional[jax.Array] = None,  # [E, 1, H]
-) -> jax.Array:
-    """TP-sharded MoE via ragged grouped matmul (jax.lax.ragged_dot), the XLA
-    counterpart of the reference's Triton grouped GEMM (moe/fused.py:127-227,
-    kernel/triton/fused_moe.py)."""
-    T, H = x.shape
-    E = w1.shape[0]
-    router_logits = jnp.dot(
-        x.astype(jnp.float32), router_w.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    probs = jax.nn.softmax(router_logits, axis=-1)
-    topk_p, topk_e = jax.lax.top_k(probs, top_k)  # [T, K]
-    if renormalize:
-        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
-
-    flat_e = topk_e.reshape(-1)  # [T*K]
-    order = jnp.argsort(flat_e)  # stable sort by expert
-    inv_order = jnp.argsort(order)
-    x_rep = jnp.repeat(x, top_k, axis=0)  # token t occupies rows t*K..t*K+K-1
-    x_sorted = x_rep[order]
-    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-
-    e_sorted = flat_e[order]
-    h = jax.lax.ragged_dot(
-        x_sorted,
-        w1.astype(x.dtype) if w1.dtype == jnp.int8 else w1,
-        group_sizes,
-        preferred_element_type=jnp.float32,
-    )
-    if w1_scale is not None:  # per-row expert scale (rows sorted by expert)
-        h = h * w1_scale[:, 0, :][e_sorted]
-    h = act_fn(h.astype(x.dtype))
-    out_sorted = jax.lax.ragged_dot(
-        h,
-        w2.astype(x.dtype) if w2.dtype == jnp.int8 else w2,
-        group_sizes,
-        preferred_element_type=jnp.float32,
-    )
-    if w2_scale is not None:
-        out_sorted = out_sorted * w2_scale[:, 0, :][e_sorted]
-    out = out_sorted[inv_order].reshape(T, top_k, H)
-    out = jnp.sum(out * topk_p[:, :, None], axis=1)
-    return out.astype(x.dtype)
 
 
 def decoder_forward(
@@ -439,7 +390,7 @@ def decoder_forward(
 
         with jax.named_scope("moe" if cfg.is_moe else "mlp"):
             if cfg.is_moe:
-                y = _moe_mlp(
+                y = _MOE_IMPL(
                     x,
                     lp["router_w"],
                     lp["moe_w1"],
