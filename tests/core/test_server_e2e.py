@@ -1,0 +1,144 @@
+"""Full serving-plane integration on CPU: launches the real process tree
+(api server + tokenizers + detokenizer + scheduler) against the generated
+fixture model and drives it over HTTP — the expanded version of the
+reference's wire-protocol impersonation test
+(/root/reference/tests/core/test_scheduler.py:26-73)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+from tests.make_fixture import make_fixture
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model_dir = make_fixture(str(tmp_path_factory.mktemp("fixture")))
+    port = _free_port()
+    env = dict(os.environ)
+    env["MINISGL_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "minisgl_tpu",
+            "--model", model_dir, "--dummy-weight",
+            "--port", str(port), "--max-seq-len", "256",
+            "--num-pages", "256", "--max-running-req", "8",
+            "--attention-backend", "xla", "--num-tokenizers", "1",
+        ],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(f"{base}/health", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode()
+                raise RuntimeError(f"server died:\n{out[-3000:]}")
+            time.sleep(1)
+    else:
+        proc.kill()
+        raise RuntimeError("server did not become healthy")
+    yield base
+    proc.terminate()
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def _post(url, body, timeout=120):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_generate_text(server):
+    status, out = _post(
+        f"{server}/generate",
+        {"text": "hello", "max_tokens": 6, "ignore_eos": True},
+    )
+    assert status == 200 and isinstance(out["text"], str)
+
+
+def test_generate_input_ids(server):
+    status, out = _post(
+        f"{server}/generate",
+        {"input_ids": [40, 41, 42], "max_tokens": 4, "ignore_eos": True},
+    )
+    assert status == 200
+
+
+def test_chat_completion(server):
+    status, out = _post(
+        f"{server}/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+            "ignore_eos": True,
+        },
+    )
+    assert status == 200
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_sse(server):
+    body = json.dumps(
+        {"text": "abc", "max_tokens": 4, "ignore_eos": True, "stream": True}
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/generate",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                chunks.append(line[6:])
+    assert chunks[-1] == "[DONE]"
+    assert any(json.loads(c).get("finished") for c in chunks[:-1])
+
+
+def test_models_endpoint(server):
+    with urllib.request.urlopen(f"{server}/v1/models", timeout=10) as r:
+        out = json.loads(r.read())
+    assert out["data"][0]["object"] == "model"
+
+
+def test_bad_json_is_400(server):
+    req = urllib.request.Request(
+        f"{server}/generate",
+        data=b"not json",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
