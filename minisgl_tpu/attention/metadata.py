@@ -63,3 +63,86 @@ class StepMetadata(NamedTuple):
     slot_ids: jax.Array
     # prefill only: [T] input token ids (decode gathers from the token ring)
     input_ids: Optional[jax.Array] = None
+
+
+# ---- packed wire format ----------------------------------------------------
+# All per-step metadata crosses host->device as ONE int32 array (float fields
+# bit-cast), because each separate transfer pays dispatch/transport latency —
+# the moral equivalent of the reference staging everything through one pinned
+# buffer per iteration (scheduler.py:236-267). Layout (offsets static per
+# (B, T, PB, phase) bucket):
+#   out_slots[T] positions[T] q_req_ids[T] (input_ids[T] prefill only)
+#   slot_ids[B] seq_lens[B] last_q_index[B] top_k[B]
+#   temperature_bits[B] top_p_bits[B] cu_q_lens[B+1] num_seqs[1]
+#   page_table[B*PB]
+
+
+def packed_len(B: int, T: int, PB: int, has_input_ids: bool) -> int:
+    return (4 if has_input_ids else 3) * T + 6 * B + (B + 1) + 1 + B * PB
+
+
+def pack_step_meta(m) -> "np.ndarray":
+    """BatchMetadata (host numpy, core.py) -> one int32 buffer."""
+    import numpy as np
+
+    fields = [m.out_slots, m.positions, m.q_req_ids]
+    if m.input_ids is not None:
+        fields.append(m.input_ids)
+    fields += [
+        m.slot_ids,
+        m.seq_lens,
+        m.last_q_index,
+        m.top_k,
+        np.ascontiguousarray(m.temperature, np.float32).view(np.int32),
+        np.ascontiguousarray(m.top_p, np.float32).view(np.int32),
+        m.cu_q_lens,
+        np.asarray([m.num_reqs], np.int32),
+        m.page_table.reshape(-1),
+    ]
+    return np.concatenate([np.asarray(f, np.int32).reshape(-1) for f in fields])
+
+
+def unpack_step_meta(
+    arr: jax.Array, B: int, T: int, PB: int, phase: str
+) -> StepMetadata:
+    """Device-side slices of the packed buffer (inside jit: free reshapes)."""
+    import jax.numpy as jnp
+
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = jax.lax.dynamic_slice_in_dim(arr, o, n)
+        o += n
+        return out
+
+    out_slots = take(T)
+    positions = take(T)
+    q_req_ids = take(T)
+    input_ids = take(T) if phase == "prefill" else None
+    slot_ids = take(B)
+    seq_lens = take(B)
+    last_q_index = take(B)
+    top_k = take(B)
+    temperature = jax.lax.bitcast_convert_type(take(B), jnp.float32)
+    top_p = jax.lax.bitcast_convert_type(take(B), jnp.float32)
+    cu_q_lens = take(B + 1)
+    num_seqs = take(1)
+    page_table = take(B * PB).reshape(B, PB)
+    return StepMetadata(
+        attn=AttnMetadata(
+            out_slots=out_slots,
+            positions=positions,
+            page_table=page_table,
+            seq_lens=seq_lens,
+            q_req_ids=q_req_ids,
+            last_q_index=last_q_index,
+            cu_q_lens=cu_q_lens,
+            num_seqs=num_seqs,
+        ),
+        sampling=SamplingMetadata(
+            temperature=temperature, top_k=top_k, top_p=top_p
+        ),
+        slot_ids=slot_ids,
+        input_ids=input_ids,
+    )

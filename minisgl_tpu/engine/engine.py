@@ -27,11 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minisgl_tpu.attention import create_attention_backend, resolve_backend_name
-from minisgl_tpu.attention.metadata import (
-    AttnMetadata,
-    SamplingMetadata,
-    StepMetadata,
-)
+from minisgl_tpu.attention.metadata import pack_step_meta
 from minisgl_tpu.core import Batch, BatchMetadata
 from minisgl_tpu.engine.batch_builder import all_greedy, build_batch_metadata
 from minisgl_tpu.engine.config import EngineConfig
@@ -39,7 +35,12 @@ from minisgl_tpu.engine.step import KV_SPEC, DeviceState, build_step_fn
 from minisgl_tpu.models.base import create_model
 from minisgl_tpu.models.weight import init_dummy_params, load_params
 from minisgl_tpu.parallel.mesh import MeshInfo, create_mesh
-from minisgl_tpu.utils import div_ceil, init_logger, resolve_model_dir
+from minisgl_tpu.utils import (
+    div_ceil,
+    init_logger,
+    next_power_of_2,
+    resolve_model_dir,
+)
 
 logger = init_logger(__name__, "Engine")
 
@@ -191,35 +192,19 @@ class Engine:
 
     # ------------------------------------------------------------------ run
 
-    def _get_step_fn(self, phase: str, greedy: bool):
-        key = (phase, greedy)
+    def _get_step_fn(self, phase: str, greedy: bool, dims):
+        key = (phase, greedy, dims)
         if key not in self._step_fns:
             logger.debug(f"building step fn {key}")
             self._step_fns[key] = build_step_fn(
-                self.model, self.mesh_info, self._attn[phase], phase, greedy
+                self.model,
+                self.mesh_info,
+                self._attn[phase],
+                phase,
+                greedy,
+                packed_dims=dims,
             )
         return self._step_fns[key]
-
-    def _to_device_meta(self, m: BatchMetadata) -> StepMetadata:
-        return StepMetadata(
-            attn=AttnMetadata(
-                out_slots=jnp.asarray(m.out_slots),
-                positions=jnp.asarray(m.positions),
-                page_table=jnp.asarray(m.page_table),
-                seq_lens=jnp.asarray(m.seq_lens),
-                q_req_ids=jnp.asarray(m.q_req_ids),
-                last_q_index=jnp.asarray(m.last_q_index),
-                cu_q_lens=jnp.asarray(m.cu_q_lens),
-                num_seqs=jnp.asarray([m.num_reqs], jnp.int32),
-            ),
-            sampling=SamplingMetadata(
-                temperature=jnp.asarray(m.temperature),
-                top_k=jnp.asarray(m.top_k),
-                top_p=jnp.asarray(m.top_p),
-            ),
-            slot_ids=jnp.asarray(m.slot_ids),
-            input_ids=None if m.input_ids is None else jnp.asarray(m.input_ids),
-        )
 
     def build_metadata(self, batch: Batch, page_lists) -> BatchMetadata:
         return build_batch_metadata(
@@ -235,10 +220,13 @@ class Engine:
 
     def forward_batch(self, batch: Batch) -> ForwardOutput:
         assert batch.metadata is not None
-        meta = self._to_device_meta(batch.metadata)
-        step = self._get_step_fn(batch.phase, all_greedy(batch))
+        m = batch.metadata
+        dims = (len(m.seq_lens), len(m.out_slots), m.page_table.shape[1])
+        # ONE host->device transfer per step (packed wire format)
+        packed = jnp.asarray(pack_step_meta(m))
+        step = self._get_step_fn(batch.phase, all_greedy(batch), dims)
         t0 = time.perf_counter()
-        self.state, tokens = step(self.params, self.state, meta)
+        self.state, tokens = step(self.params, self.state, packed)
         dt = time.perf_counter() - t0
         if dt > 1.0:  # cold-bucket compile; steady-state dispatch is ~ms
             logger.debug(f"step dispatch took {dt:.1f}s (compile?)")
@@ -251,68 +239,58 @@ class Engine:
     def warmup(self) -> None:
         """Precompile the decode bucket ladder + the smallest prefill bucket
         (reference graph capture's role, graph.py:105-147)."""
+        from minisgl_tpu.engine.batch_builder import pages_bucket
+
+        PB = (
+            next_power_of_2(self.pages_cap)
+            if self.fixed_pages
+            else pages_bucket(1, self.pages_cap)
+        )
         for greedy in (True,):
             for bs in self.bs_buckets:
-                meta = self._dummy_decode_meta(bs)
-                step = self._get_step_fn("decode", greedy)
-                self.state, tokens = step(self.params, self.state, meta)
-            meta = self._dummy_prefill_meta(self.token_buckets[0])
-            step = self._get_step_fn("prefill", greedy)
-            self.state, tokens = step(self.params, self.state, meta)
+                m = self._dummy_meta("decode", bs, bs, PB)
+                step = self._get_step_fn("decode", greedy, (bs, bs, PB))
+                self.state, tokens = step(
+                    self.params, self.state, jnp.asarray(pack_step_meta(m))
+                )
+            T0 = self.token_buckets[0]
+            m = self._dummy_meta("prefill", 1, T0, PB)
+            step = self._get_step_fn("prefill", greedy, (1, T0, PB))
+            self.state, tokens = step(
+                self.params, self.state, jnp.asarray(pack_step_meta(m))
+            )
         jax.block_until_ready(tokens)
         logger.info(
             f"warmup compiled decode buckets {self.bs_buckets} + prefill "
             f"bucket {self.token_buckets[0]}"
         )
 
-    def _dummy_prefill_meta(self, T_pad: int) -> StepMetadata:
-        from minisgl_tpu.engine.batch_builder import pages_bucket
-
-        PB = pages_bucket(1, self.pages_cap)
-        q_req_ids = np.full((T_pad,), -1, np.int32)
-        q_req_ids[0] = 0
-        positions = np.zeros((T_pad,), np.int32)
-        return StepMetadata(
-            attn=AttnMetadata(
-                out_slots=jnp.zeros((T_pad,), jnp.int32),
-                positions=jnp.asarray(positions),
-                page_table=jnp.zeros((1, PB), jnp.int32),
-                seq_lens=jnp.ones((1,), jnp.int32),
-                q_req_ids=jnp.asarray(q_req_ids),
-                last_q_index=jnp.zeros((1,), jnp.int32),
-                cu_q_lens=jnp.asarray([0, self.q_align], jnp.int32),
-                num_seqs=jnp.asarray([1], jnp.int32),
-            ),
-            sampling=SamplingMetadata(
-                temperature=jnp.zeros((1,)),
-                top_k=jnp.full((1,), -1, jnp.int32),
-                top_p=jnp.ones((1,)),
-            ),
-            slot_ids=jnp.zeros((1,), jnp.int32),
-            input_ids=jnp.zeros((T_pad,), jnp.int32),
+    def _dummy_meta(self, phase: str, B: int, T: int, PB: int) -> BatchMetadata:
+        q_req_ids = np.full((T,), -1, np.int32)
+        q_req_ids[: (B if phase == "decode" else 1)] = (
+            np.arange(B, dtype=np.int32) if phase == "decode" else 0
         )
-
-    def _dummy_decode_meta(self, bs: int) -> StepMetadata:
-        from minisgl_tpu.engine.batch_builder import pages_bucket
-
-        PB = pages_bucket(1, self.pages_cap)
-        return StepMetadata(
-            attn=AttnMetadata(
-                out_slots=jnp.zeros((bs,), jnp.int32),
-                positions=jnp.zeros((bs,), jnp.int32),
-                page_table=jnp.zeros((bs, PB), jnp.int32),
-                seq_lens=jnp.ones((bs,), jnp.int32),
-                q_req_ids=jnp.arange(bs, dtype=jnp.int32),
-                last_q_index=jnp.arange(bs, dtype=jnp.int32),
-                cu_q_lens=jnp.arange(bs + 1, dtype=jnp.int32),
-                num_seqs=jnp.asarray([bs], jnp.int32),
-            ),
-            sampling=SamplingMetadata(
-                temperature=jnp.zeros((bs,)),
-                top_k=jnp.full((bs,), -1, jnp.int32),
-                top_p=jnp.ones((bs,)),
-            ),
-            slot_ids=jnp.zeros((bs,), jnp.int32),
+        cu = np.zeros((B + 1,), np.int32)
+        if phase == "decode":
+            cu[1:] = np.arange(1, B + 1)
+        else:
+            cu[1:] = self.q_align
+        return BatchMetadata(
+            phase=phase,
+            slot_ids=np.zeros((B,), np.int32),
+            out_slots=np.zeros((T,), np.int32),
+            positions=np.zeros((T,), np.int32),
+            page_table=np.zeros((B, PB), np.int32),
+            seq_lens=np.ones((B,), np.int32),
+            input_ids=np.zeros((T,), np.int32) if phase == "prefill" else None,
+            q_req_ids=q_req_ids,
+            last_q_index=np.zeros((B,), np.int32),
+            cu_q_lens=cu,
+            temperature=np.zeros((B,), np.float32),
+            top_k=np.full((B,), -1, np.int32),
+            top_p=np.ones((B,), np.float32),
+            num_reqs=B if phase == "decode" else 1,
+            num_tokens=B if phase == "decode" else 1,
         )
 
     def shutdown(self) -> None:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from minisgl_tpu.attention.metadata import StepMetadata
+from minisgl_tpu.attention.metadata import StepMetadata, unpack_step_meta
 from minisgl_tpu.models.base import Model
 from minisgl_tpu.models.common import AttnImpl
 from minisgl_tpu.ops.sampling import sample_tokens
@@ -48,12 +48,21 @@ def build_step_fn(
     phase: str,
     all_greedy: bool,
     return_logits: bool = False,
+    packed_dims: Tuple[int, int, int] | None = None,
 ):
-    """Returns jitted (params, state, meta) -> (state, tokens[, logits])."""
+    """Returns jitted (params, state, meta) -> (state, tokens[, logits]).
+
+    With ``packed_dims=(B, T, PB)`` the meta argument is the single packed
+    int32 buffer (attention/metadata.py wire format) — ONE host->device
+    transfer per step instead of one per field.
+    """
     assert phase in ("prefill", "decode")
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
 
-    def _impl(params, state: DeviceState, meta: StepMetadata):
+    def _impl(params, state: DeviceState, meta):
+        if packed_dims is not None:
+            B, T, PB = packed_dims
+            meta = unpack_step_meta(meta, B, T, PB, phase)
         if phase == "decode":
             input_ids = jnp.take(state.token_slots, meta.slot_ids)
         else:
