@@ -58,6 +58,7 @@ def main() -> None:
         max_running_req=int(os.environ.get("BENCH_MAX_RUNNING", "128")),
         max_seq_len_override=2048,
         cache_type="radix",
+        decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "8")),
     )
     # warmup: compile the decode ladder + a prefill bucket out of the timing
     llm.engine.warmup()

@@ -82,6 +82,20 @@ class Req:
         self.cached_len = self.device_len
         self.device_len += 1
 
+    def complete_k(self, k: int) -> None:
+        """complete_one applied k times (multi-step decode: the device loop
+        ran k decode iterations inside one dispatch)."""
+        self.cached_len = self.device_len + k - 1
+        self.device_len += k
+
+    def clamp_to_host(self) -> None:
+        """After a mid-burst finish, discard bookkeeping for device-side
+        tokens the host rejected (tokens past EOS/limit in a multi-step
+        burst): lengths must not exceed what input_ids actually holds."""
+        n = len(self.input_ids)
+        self.device_len = min(self.device_len, n)
+        self.cached_len = min(self.cached_len, n)
+
     def append_host(self, next_token: int) -> None:
         self.input_ids = np.append(self.input_ids, np.int32(next_token))
 
@@ -146,6 +160,9 @@ class Batch:
     reqs: List[Req]
     phase: Phase
     metadata: Optional[BatchMetadata] = field(default=None)
+    # decode only: number of device-side decode iterations fused into this
+    # dispatch (engine/step.py multi-step loop)
+    decode_steps: int = 1
 
     @property
     def is_prefill(self) -> bool:

@@ -43,6 +43,9 @@ class EngineConfig:
     kv_dtype: str = "auto"
     # prefill token-count buckets are powers of two up to max_extend_tokens
     min_prefill_bucket: int = 128
+    # decode iterations fused per dispatch when no prefill is pending
+    # (device-side loop; tokens stream to the detokenizer in bursts of K)
+    decode_steps: int = 1
 
     @cached_property
     def hf_config(self):

@@ -192,8 +192,8 @@ class Engine:
 
     # ------------------------------------------------------------------ run
 
-    def _get_step_fn(self, phase: str, greedy: bool, dims):
-        key = (phase, greedy, dims)
+    def _get_step_fn(self, phase: str, greedy: bool, dims, decode_steps=1):
+        key = (phase, greedy, dims, decode_steps)
         if key not in self._step_fns:
             logger.debug(f"building step fn {key}")
             self._step_fns[key] = build_step_fn(
@@ -203,6 +203,7 @@ class Engine:
                 phase,
                 greedy,
                 packed_dims=dims,
+                decode_steps=decode_steps,
             )
         return self._step_fns[key]
 
@@ -224,7 +225,9 @@ class Engine:
         dims = (len(m.seq_lens), len(m.out_slots), m.page_table.shape[1])
         # ONE host->device transfer per step (packed wire format)
         packed = jnp.asarray(pack_step_meta(m))
-        step = self._get_step_fn(batch.phase, all_greedy(batch), dims)
+        step = self._get_step_fn(
+            batch.phase, all_greedy(batch), dims, batch.decode_steps
+        )
         t0 = time.perf_counter()
         self.state, tokens = step(self.params, self.state, packed)
         dt = time.perf_counter() - t0
@@ -233,7 +236,7 @@ class Engine:
         # host-side length bookkeeping advances at dispatch (reference
         # engine.py:199-200)
         for req in batch.reqs:
-            req.complete_one()
+            req.complete_k(batch.decode_steps)
         return ForwardOutput(batch=batch, tokens=tokens)
 
     def warmup(self) -> None:

@@ -49,20 +49,26 @@ def build_step_fn(
     all_greedy: bool,
     return_logits: bool = False,
     packed_dims: Tuple[int, int, int] | None = None,
+    decode_steps: int = 1,
 ):
     """Returns jitted (params, state, meta) -> (state, tokens[, logits]).
 
     With ``packed_dims=(B, T, PB)`` the meta argument is the single packed
     int32 buffer (attention/metadata.py wire format) — ONE host->device
     transfer per step instead of one per field.
+
+    ``decode_steps=K > 1`` fuses K decode iterations into one dispatch: the
+    sampled token feeds the next iteration through the on-device token ring,
+    positions/seq_lens advance and KV destinations are derived from the page
+    table ON DEVICE, and the host gets tokens [K, B] back — K generated
+    tokens for ONE host<->device round trip. (No reference counterpart: CUDA
+    graphs still pay one launch+sync per token.)
     """
     assert phase in ("prefill", "decode")
+    assert decode_steps == 1 or phase == "decode"
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
 
-    def _impl(params, state: DeviceState, meta):
-        if packed_dims is not None:
-            B, T, PB = packed_dims
-            meta = unpack_step_meta(meta, B, T, PB, phase)
+    def _one(params, state: DeviceState, meta: StepMetadata):
         if phase == "decode":
             input_ids = jnp.take(state.token_slots, meta.slot_ids)
         else:
@@ -77,10 +83,51 @@ def build_step_fn(
             rng, subkey = jax.random.split(state.rng)
             tokens = sample_tokens(logits, meta.sampling, subkey)
         token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
-        new_state = DeviceState(kv_pool, token_slots, rng)
-        if return_logits:
-            return new_state, tokens, logits
-        return new_state, tokens
+        return DeviceState(kv_pool, token_slots, rng), tokens, logits
+
+    def _impl(params, state: DeviceState, meta):
+        if packed_dims is not None:
+            B, T, PB = packed_dims
+            meta = unpack_step_meta(meta, B, T, PB, phase)
+        if decode_steps == 1:
+            new_state, tokens, logits = _one(params, state, meta)
+            if return_logits:
+                return new_state, tokens, logits
+            return new_state, tokens
+
+        ps = state.kv.shape[1]
+        K, B = decode_steps, meta.attn.seq_lens.shape[0]
+
+        def body(i, carry):
+            state, toks = carry
+            pos = meta.attn.positions + i  # [B] (decode: 1 token per row)
+            out_slots = (
+                jnp.take_along_axis(
+                    meta.attn.page_table, (pos // ps)[:, None], axis=1
+                )[:, 0]
+                * ps
+                + pos % ps
+            )
+            meta_i = meta._replace(
+                attn=meta.attn._replace(
+                    positions=pos,
+                    seq_lens=meta.attn.seq_lens + i,
+                    out_slots=out_slots,
+                    last_q_index=jnp.arange(B, dtype=jnp.int32),
+                )
+            )
+            state, tokens, _ = _one(params, state, meta_i)
+            return state, jax.lax.dynamic_update_index_in_dim(
+                toks, tokens, i, axis=0
+            )
+
+        state, toks = jax.lax.fori_loop(
+            0,
+            K,
+            body,
+            (state, jnp.zeros((K, B), jnp.int32)),
+        )
+        return state, toks
 
     out_specs = (STATE_SPECS, P(), P()) if return_logits else (STATE_SPECS, P())
     sharded = jax.shard_map(

@@ -66,11 +66,15 @@ class CacheManager:
     def unlock(self, handle: BaseCacheHandle) -> None:
         self.prefix_cache.lock_handle(handle, unlock=True)
 
-    def allocate_paged(self, reqs: List[Req]) -> None:
-        """Extend each req's page list to cover [cached_len, device_len)."""
+    def allocate_paged(self, reqs: List[Req], lookahead: int = 0) -> None:
+        """Extend each req's page list to cover [cached_len, device_len +
+        lookahead) — lookahead covers multi-step decode bursts."""
         for req in reqs:
             pages = self.table_manager.page_lists[req.table_idx]
-            need = div_ceil(req.device_len, self.page_size) - len(pages)
+            need = (
+                div_ceil(req.device_len + lookahead, self.page_size)
+                - len(pages)
+            )
             if need > 0:
                 pages.extend(self._allocate(need))
 

@@ -37,11 +37,16 @@ class DecodeManager:
         reserved = (self.page_size - 1) * len(self.running_reqs)
         return sum(req.remain_len for req in self.running_reqs) + reserved
 
-    def schedule_next_batch(self) -> Optional[Batch]:
+    def schedule_next_batch(self, decode_steps: int = 1) -> Optional[Batch]:
         if not self.runnable:
             return None
         reqs: List[Req] = sorted(self.running_reqs, key=lambda r: r.table_idx)
-        return Batch(reqs=reqs, phase="decode")
+        # a K-step burst needs K tokens of budget on every row; otherwise
+        # fall back to single-step (keeps the compiled variant set at {1, K})
+        k = decode_steps
+        if k > 1 and any(r.remain_len < k for r in reqs):
+            k = 1
+        return Batch(reqs=reqs, phase="decode", decode_steps=k)
 
     @property
     def runnable(self) -> bool:

@@ -168,6 +168,8 @@ class Scheduler(SchedulerIOMixin):
         # scheduler.py:142 copy_done.synchronize())
         t0 = time.perf_counter()
         tokens = np.asarray(output.tokens)
+        if tokens.ndim == 1:  # single-step: [B] -> [1, B]
+            tokens = tokens[None, :]
         dt = time.perf_counter() - t0
         if dt > 1.0:  # steady state: the fetch lags one dispatched batch
             logger.debug(f"token fetch waited {dt:.1f}s ({batch.phase})")
@@ -180,16 +182,24 @@ class Scheduler(SchedulerIOMixin):
                 # overlap scheduling decoded one extra step for an
                 # already-finished req; drop it (reference scheduler.py:159)
                 continue
-            next_token = int(tokens[i])
-            req.append_host(next_token)
-            # exact length finish: count appended outputs (see core.Req)
-            finished = req.num_output_tokens >= req.output_len
-            if not req.sampling_params.ignore_eos:
-                finished |= next_token in self.eos_token_ids
-            reply.append(
-                DetokenizeMsg(uid=req.uid, next_token=next_token, finished=finished)
-            )
+            finished = False
+            for step in range(tokens.shape[0]):  # [K, B] burst rows
+                next_token = int(tokens[step, i])
+                req.append_host(next_token)
+                # exact length finish: count appended outputs (see core.Req)
+                finished = req.num_output_tokens >= req.output_len
+                if not req.sampling_params.ignore_eos:
+                    finished |= next_token in self.eos_token_ids
+                reply.append(
+                    DetokenizeMsg(
+                        uid=req.uid, next_token=next_token, finished=finished
+                    )
+                )
+                if finished:
+                    break
             if finished:
+                # discard device-side tokens past the finish point
+                req.clamp_to_host()
                 self.decode_manager.remove_req(req)
                 self._free_req_resources(req)
                 new_finished.add(req)
@@ -252,10 +262,16 @@ class Scheduler(SchedulerIOMixin):
     def _schedule_next_batch(self) -> Optional[Batch]:
         batch = self.prefill_manager.schedule_next_batch(
             self.prefill_budget, q_align=self.engine.q_align
-        ) or self.decode_manager.schedule_next_batch()
+        )
+        if batch is None:
+            # multi-step bursts only when no prefill is waiting (TTFT first)
+            k = 1 if self.prefill_manager.runnable else self.config.decode_steps
+            batch = self.decode_manager.schedule_next_batch(k)
         if batch is None:
             return None
-        self.cache_manager.allocate_paged(batch.reqs)
+        self.cache_manager.allocate_paged(
+            batch.reqs, lookahead=batch.decode_steps - 1
+        )
         batch.metadata = self.engine.build_metadata(
             batch, self.table_manager.page_lists
         )
