@@ -80,14 +80,17 @@ class EngineConfig:
         return div_ceil(self.max_seq_len, self.page_size)
 
     def decode_bs_buckets(self) -> List[int]:
-        """[1, 2, 4, ..., max] padded decode batch sizes (reference
-        graph.py:49-67 ladder)."""
+        """[1, 4, 16, ..., max] padded decode batch sizes. The reference's
+        CUDA-graph ladder is x2 (graph.py:49-67) because capture is cheap;
+        XLA compiles per bucket are not, so the default ladder steps x4 —
+        at most 4x padding waste on the small-batch drain tail, which is
+        cheap compute anyway."""
         max_bs = min(self.max_decode_bs or self.max_running_req, self.max_running_req)
         buckets = []
         bs = 1
         while bs < max_bs:
             buckets.append(bs)
-            bs *= 2
+            bs *= 4
         buckets.append(max_bs)
         return buckets
 
