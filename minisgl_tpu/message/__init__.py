@@ -96,6 +96,9 @@ class DetokenizeMsg:
     uid: int
     next_token: int
     finished: bool
+    # filled on the finished message only (OpenAI usage accounting)
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
 
 
 @register_msg
@@ -117,6 +120,8 @@ class UserReply(BaseFrontendMsg):
     uid: int
     incremental_output: str
     finished: bool
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
 
 
 @register_msg

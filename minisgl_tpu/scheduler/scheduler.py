@@ -192,7 +192,13 @@ class Scheduler(SchedulerIOMixin):
                     finished |= next_token in self.eos_token_ids
                 reply.append(
                     DetokenizeMsg(
-                        uid=req.uid, next_token=next_token, finished=finished
+                        uid=req.uid,
+                        next_token=next_token,
+                        finished=finished,
+                        prompt_tokens=req.prompt_len if finished else 0,
+                        completion_tokens=(
+                            req.num_output_tokens if finished else 0
+                        ),
                     )
                 )
                 if finished:

@@ -152,17 +152,25 @@ def build_app(manager: FrontendManager, args) -> web.Application:
 
     app.on_startup.append(_startup)
 
-    async def _collect(uid: int, request: web.Request) -> Optional[str]:
-        """Gather the full completion; abort on client disconnect
+    async def _collect(uid: int, request: web.Request):
+        """Gather the full completion + usage; abort on client disconnect
         (reference api_server.py:191-210)."""
         chunks: List[str] = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
         try:
             async for reply in manager.stream_replies(uid):
                 chunks.append(reply.incremental_output)
+                if reply.finished:
+                    usage = {
+                        "prompt_tokens": reply.prompt_tokens,
+                        "completion_tokens": reply.completion_tokens,
+                        "total_tokens": reply.prompt_tokens
+                        + reply.completion_tokens,
+                    }
         except asyncio.CancelledError:
             await manager.abort(uid)
             raise
-        return "".join(chunks)
+        return "".join(chunks), usage
 
     async def health(request):
         return web.json_response({"status": "ok"})
@@ -205,8 +213,8 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 yield "data: [DONE]\n\n"
 
             return await _sse_response(request, gen())
-        text = await _collect(uid, request)
-        return web.json_response({"text": text})
+        text, usage = await _collect(uid, request)
+        return web.json_response({"text": text, "usage": usage})
 
     async def completions(request: web.Request):
         body = await request.json()
@@ -219,7 +227,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 request,
                 _openai_stream(manager, uid, rid, args.model_name, "text"),
             )
-        text = await _collect(uid, request)
+        text, usage = await _collect(uid, request)
         return web.json_response(
             {
                 "id": rid,
@@ -229,6 +237,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 "choices": [
                     {"index": 0, "text": text, "finish_reason": "stop"}
                 ],
+                "usage": usage,
             }
         )
 
@@ -243,7 +252,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 request,
                 _openai_stream(manager, uid, rid, args.model_name, "chat"),
             )
-        text = await _collect(uid, request)
+        text, usage = await _collect(uid, request)
         return web.json_response(
             {
                 "id": rid,
@@ -257,6 +266,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                         "finish_reason": "stop",
                     }
                 ],
+                "usage": usage,
             }
         )
 

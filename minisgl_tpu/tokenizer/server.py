@@ -109,6 +109,8 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
                             uid=msg.uid,
                             incremental_output=text,
                             finished=msg.finished,
+                            prompt_tokens=msg.prompt_tokens,
+                            completion_tokens=msg.completion_tokens,
                         )
                     )
             if replies:
