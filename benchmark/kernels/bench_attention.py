@@ -13,6 +13,12 @@ Usage: python benchmark/kernels/bench_attention.py [--backends pallas rpa xla]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 import functools
 

@@ -8,6 +8,12 @@ Usage: python benchmark/online/bench_simple.py --url http://127.0.0.1:30000 \
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 import asyncio
 
