@@ -107,3 +107,7 @@ def launch_server(
             p.terminate()
         for p in procs:
             p.join(timeout=5)
+
+
+def main() -> None:  # console entry (pyproject [project.scripts])
+    launch_server()
