@@ -249,13 +249,19 @@ class Engine:
             if self.fixed_pages
             else pages_bucket(1, self.pages_cap)
         )
+        ks = [1] + (
+            [self.config.decode_steps] if self.config.decode_steps > 1 else []
+        )
         for greedy in (True,):
             for bs in self.bs_buckets:
-                m = self._dummy_meta("decode", bs, bs, PB)
-                step = self._get_step_fn("decode", greedy, (bs, bs, PB))
-                self.state, tokens = step(
-                    self.params, self.state, jnp.asarray(pack_step_meta(m))
-                )
+                for k in ks:
+                    m = self._dummy_meta("decode", bs, bs, PB)
+                    step = self._get_step_fn(
+                        "decode", greedy, (bs, bs, PB), decode_steps=k
+                    )
+                    self.state, tokens = step(
+                        self.params, self.state, jnp.asarray(pack_step_meta(m))
+                    )
             T0 = self.token_buckets[0]
             m = self._dummy_meta("prefill", 1, T0, PB)
             step = self._get_step_fn("prefill", greedy, (1, T0, PB))
