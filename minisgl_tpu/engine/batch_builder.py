@@ -66,9 +66,9 @@ def build_batch_metadata(
         T_pad = B_pad
     else:
         T = sum(aligned(r.extend_len) for r in reqs)
-        B_pad = pick_bucket(
-            B, [b for b in PREFILL_BS_BUCKETS if b <= len(page_lists)] or [B]
-        ) if B <= max(PREFILL_BS_BUCKETS) else next_power_of_2(B)
+        cap = max(len(page_lists), B)  # max_running_req bounds batch rows
+        row_buckets = [b for b in PREFILL_BS_BUCKETS if b < cap] + [cap]
+        B_pad = pick_bucket(B, row_buckets)
         T_pad = pick_bucket(T, token_buckets)
 
     if fixed_pages:
