@@ -111,7 +111,12 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
     )
 
 
-async def _sse_response(request: web.Request, gen: AsyncIterator[str]):
+async def _sse_response(
+    request: web.Request,
+    gen: AsyncIterator[str],
+    manager: "FrontendManager" = None,
+    uid: int = None,
+):
     resp = web.StreamResponse(
         headers={
             "Content-Type": "text/event-stream",
@@ -120,8 +125,15 @@ async def _sse_response(request: web.Request, gen: AsyncIterator[str]):
         }
     )
     await resp.prepare(request)
-    async for chunk in gen:
-        await resp.write(chunk.encode())
+    try:
+        async for chunk in gen:
+            await resp.write(chunk.encode())
+    except (asyncio.CancelledError, ConnectionResetError):
+        # client went away mid-stream: stop generating server-side
+        # (reference api_server.py:191-210)
+        if manager is not None and uid is not None:
+            await manager.abort(uid)
+        raise
     await resp.write_eof()
     return resp
 
@@ -212,7 +224,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                     )
                 yield "data: [DONE]\n\n"
 
-            return await _sse_response(request, gen())
+            return await _sse_response(request, gen(), manager, uid)
         text, usage = await _collect(uid, request)
         return web.json_response({"text": text, "usage": usage})
 
@@ -226,6 +238,8 @@ def build_app(manager: FrontendManager, args) -> web.Application:
             return await _sse_response(
                 request,
                 _openai_stream(manager, uid, rid, args.model_name, "text"),
+                manager,
+                uid,
             )
         text, usage = await _collect(uid, request)
         return web.json_response(
@@ -251,6 +265,8 @@ def build_app(manager: FrontendManager, args) -> web.Application:
             return await _sse_response(
                 request,
                 _openai_stream(manager, uid, rid, args.model_name, "chat"),
+                manager,
+                uid,
             )
         text, usage = await _collect(uid, request)
         return web.json_response(
