@@ -33,6 +33,8 @@ class Model:
     dims: ModelDims
     extras: ModelExtras
     params_spec: ParamsSpec
+    # "none" | "int8" (weight-only) | "w8a8" (+dynamic activation quant)
+    quant: str = "none"
 
     def forward(
         self,
@@ -51,11 +53,16 @@ class Model:
             kv_pool,
             meta,
             attn_impl,
+            w8a8=self.quant == "w8a8",
         )
 
 
 def create_model(cfg: ModelConfig, tp_size: int, quant: str = "none") -> Model:
     extras = resolve_extras(cfg)
     dims = ModelDims.build(cfg, tp_size)
-    spec = build_param_specs(cfg, dims, extras, quant=quant)
-    return Model(cfg=cfg, dims=dims, extras=extras, params_spec=spec)
+    # w8a8 stores the same int8 weights; the activation path differs
+    spec_quant = "int8" if quant == "w8a8" else quant
+    spec = build_param_specs(cfg, dims, extras, quant=spec_quant)
+    return Model(
+        cfg=cfg, dims=dims, extras=extras, params_spec=spec, quant=quant
+    )

@@ -60,6 +60,13 @@ def test_int8_weight_only_tracks_fp(tiny_model_dir):
     assert got[:2] == ref[:2], (got, ref)
 
 
+def test_w8a8_tracks_fp(tiny_model_dir):
+    prompt = list(range(7, 27))
+    ref = _generate(tiny_model_dir, prompt, 8)
+    got = _generate(tiny_model_dir, prompt, 8, quantization="w8a8")
+    assert got[:2] == ref[:2], (got, ref)
+
+
 def test_fp8_kv_tracks_bf16(tiny_model_dir):
     prompt = list(range(7, 27))
     ref = _generate(tiny_model_dir, prompt, 8)
