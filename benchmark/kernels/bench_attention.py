@@ -58,7 +58,7 @@ def make_case(B, kv_len, q_len, Hq, kvh, hd, ps, pages_cap, q_align, dtype):
     return q, kv, meta
 
 
-def get_impl(backend, hd, ps, phase):
+def get_impl(backend, hd, ps, phase, cp=8):
     scale = hd ** -0.5
     if backend == "pallas":
         from minisgl_tpu.attention.pallas_backend import (
@@ -68,7 +68,8 @@ def get_impl(backend, hd, ps, phase):
 
         bq = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
         return functools.partial(
-            pallas_ragged_paged_attention, scale=scale, block_q=bq
+            pallas_ragged_paged_attention, scale=scale, block_q=bq,
+            pages_per_chunk=cp,
         )
     if backend == "rpa":
         from minisgl_tpu.attention.rpa_backend import rpa_attention
@@ -86,6 +87,7 @@ def main():
     p.add_argument("--kvh", type=int, default=8)
     p.add_argument("--hd", type=int, default=128)
     p.add_argument("--ps", type=int, default=16)
+    p.add_argument("--cp", type=int, default=8, help="pages per DMA chunk (pallas)")
     args = p.parse_args()
     Hq, kvh, hd, ps = args.hq, args.kvh, args.hd, args.ps
     itemsize = 2  # bf16
@@ -106,7 +108,7 @@ def main():
                 B, kv_len, q_len, Hq, kvh, hd, ps, pages_cap, q_align,
                 jnp.bfloat16,
             )
-            impl = jax.jit(get_impl(backend, hd, ps, phase))
+            impl = jax.jit(get_impl(backend, hd, ps, phase, args.cp))
             kv_bytes = B * kv_len * 2 * kvh * hd * itemsize
             try:
                 sec = time_fn(lambda: impl(qa, kv, meta))
