@@ -1,0 +1,74 @@
+"""Radix prefix-cache speedup benchmark (BASELINE.md metric: "radix
+hit-rate speedup"; workload shape of the reference's bench_wildchat —
+real-prompt datasets with shared prefixes).
+
+N requests share a long common prefix (system prompt) with unique tails;
+compares radix vs naive cache wall time on the same engine config.
+
+Usage: python benchmark/offline/bench_prefix.py [--num 48] [--prefix 768]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import argparse
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(cache_type: str, prompts, out_len: int, model: str) -> float:
+    from minisgl_tpu.core import SamplingParams
+    from minisgl_tpu.llm import LLM
+
+    llm = LLM(
+        model,
+        use_dummy_weight=True,
+        max_running_req=64,
+        max_seq_len_override=2048,
+        cache_type=cache_type,
+        decode_steps=8,
+    )
+    params = SamplingParams(temperature=0.0, max_tokens=out_len, ignore_eos=True)
+    # warm compile buckets with an unrelated workload
+    warm = [np.random.default_rng(9).integers(50_000, 60_000, 200).tolist()
+            for _ in range(4)]
+    llm.generate(warm, params)
+    tic = time.perf_counter()
+    llm.generate(prompts, params)
+    return time.perf_counter() - tic
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num", type=int, default=48)
+    p.add_argument("--prefix", type=int, default=768)
+    p.add_argument("--tail", type=int, default=64)
+    p.add_argument("--out", type=int, default=64)
+    p.add_argument("--model", default=os.path.join(REPO, "assets", "qwen3-0.6b"))
+    args = p.parse_args()
+
+    rng = np.random.default_rng(0)
+    shared = rng.integers(10, 10_000, args.prefix).tolist()
+    prompts = [
+        shared + rng.integers(10, 10_000, args.tail).tolist()
+        for _ in range(args.num)
+    ]
+
+    t_naive = run("naive", prompts, args.out, args.model)
+    t_radix = run("radix", prompts, args.out, args.model)
+    print(
+        f"naive: {t_naive:.2f}s  radix: {t_radix:.2f}s  "
+        f"speedup: {t_naive / t_radix:.2f}x "
+        f"(shared prefix {args.prefix} tokens x {args.num} reqs)"
+    )
+
+
+if __name__ == "__main__":
+    main()
