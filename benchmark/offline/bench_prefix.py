@@ -23,7 +23,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(cache_type: str, prompts, out_len: int, model: str) -> float:
+def run(cache_type: str, wave1, wave2, out_len: int, model: str):
+    """Returns (wave1_s, wave2_s): wave2 shares wave1's prefix — the radix
+    cache should serve it from KV (the reference's bench_wildchat shape:
+    repeated system prompts across user turns)."""
     from minisgl_tpu.core import SamplingParams
     from minisgl_tpu.llm import LLM
 
@@ -41,8 +44,11 @@ def run(cache_type: str, prompts, out_len: int, model: str) -> float:
             for _ in range(4)]
     llm.generate(warm, params)
     tic = time.perf_counter()
-    llm.generate(prompts, params)
-    return time.perf_counter() - tic
+    llm.generate(wave1, params)
+    t1 = time.perf_counter() - tic
+    tic = time.perf_counter()
+    llm.generate(wave2, params)
+    return t1, time.perf_counter() - tic
 
 
 def main() -> None:
@@ -56,16 +62,19 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     shared = rng.integers(10, 10_000, args.prefix).tolist()
-    prompts = [
-        shared + rng.integers(10, 10_000, args.tail).tolist()
-        for _ in range(args.num)
-    ]
 
-    t_naive = run("naive", prompts, args.out, args.model)
-    t_radix = run("radix", prompts, args.out, args.model)
+    def wave():
+        return [
+            shared + rng.integers(10, 10_000, args.tail).tolist()
+            for _ in range(args.num)
+        ]
+
+    n1, n2 = run("naive", wave(), wave(), args.out, args.model)
+    r1, r2 = run("radix", wave(), wave(), args.out, args.model)
     print(
-        f"naive: {t_naive:.2f}s  radix: {t_radix:.2f}s  "
-        f"speedup: {t_naive / t_radix:.2f}x "
+        f"wave1 naive {n1:.2f}s radix {r1:.2f}s | "
+        f"wave2 (prefix hot) naive {n2:.2f}s radix {r2:.2f}s | "
+        f"hot-prefix speedup {n2 / r2:.2f}x "
         f"(shared prefix {args.prefix} tokens x {args.num} reqs)"
     )
 
