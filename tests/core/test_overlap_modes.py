@@ -36,7 +36,8 @@ def _gen(model_dir):
 
 def test_normal_loop_matches_overlap(model_dir, monkeypatch):
     ref = _gen(model_dir)
-    field = _Env.DISABLE_OVERLAP_SCHEDULING
+    # class access triggers the descriptor; reach the field via __dict__
+    field = _Env.__dict__["DISABLE_OVERLAP_SCHEDULING"]
     monkeypatch.setattr(field, "_cache", True)
     monkeypatch.setattr(field, "_read", True)
     assert ENV.DISABLE_OVERLAP_SCHEDULING is True
