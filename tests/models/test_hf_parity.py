@@ -58,3 +58,48 @@ def test_tie_word_embeddings(tmp_path):
     tokens, logits = runner.greedy_generate(PROMPT, N_NEW)
     np.testing.assert_allclose(logits, hf_logits, rtol=2e-4, atol=2e-4)
     assert tokens == hf_tokens
+
+
+def test_llama3_rope_scaling_parity(tmp_path):
+    """Llama-3.1-style llama3 rope scaling (ops/rope.py:_llama3_scaling)."""
+    hf_model = save_tiny_hf_model(
+        str(tmp_path),
+        "llama",
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+        max_position_embeddings=128,
+    )
+    hf_tokens, hf_logits = hf_greedy_generate(hf_model, PROMPT, N_NEW)
+    runner = SimpleRunner(str(tmp_path), tp_size=1, page_size=4)
+    tokens, logits = runner.greedy_generate(PROMPT, N_NEW)
+    np.testing.assert_allclose(logits, hf_logits, rtol=2e-4, atol=2e-4)
+    assert tokens == hf_tokens
+
+
+def test_yarn_rope_scaling_cache_shape():
+    """YaRN scaling path builds a finite cache with the mscale folded in."""
+    from minisgl_tpu.models.config import RotaryConfig
+    from minisgl_tpu.ops.rope import compute_rope_cache
+
+    cache = compute_rope_cache(
+        RotaryConfig(
+            head_dim=32,
+            rotary_dim=32,
+            max_position=128,
+            base=10000.0,
+            scaling={
+                "rope_type": "yarn",
+                "factor": 4.0,
+                "original_max_position_embeddings": 32,
+            },
+        )
+    )
+    assert cache.shape == (128, 32)
+    assert np.isfinite(cache).all()
+    # mscale > 1 for factor > 1: cos(0) scaled above 1
+    assert cache[0, 0] > 1.0
