@@ -18,7 +18,6 @@ Departures from the reference's per-GPU-process design:
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -146,7 +145,9 @@ class Engine:
             # TPU without memory_stats (e.g. tunneled device): budget from
             # the chip's known HBM minus what the params already hold
             # (reference engine.py:148-189 probes allocations instead)
-            hbm = float(os.environ.get("MSLT_HBM_GB", "16")) * 1e9
+            from minisgl_tpu.env import ENV
+
+            hbm = ENV.HBM_GB * 1e9
             param_bytes = sum(p.nbytes for p in self.params.values()) / max(
                 1, self.mesh_info.tp_size * self.mesh_info.dp_size
             )

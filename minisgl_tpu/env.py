@@ -54,6 +54,9 @@ class _Env:
     LOG_LEVEL = EnvField("LOG_LEVEL", "INFO", str)
     # Include the PID in log lines (useful with multi-process serving plane).
     LOG_PID = EnvField("LOG_PID", False, _parse_bool)
+    # Per-chip HBM budget (GB) used for KV sizing when the device exposes no
+    # memory_stats (e.g. tunneled devices). v5e default.
+    HBM_GB = EnvField("HBM_GB", 16.0, float)
 
 
 ENV = _Env()
