@@ -83,25 +83,18 @@ def _attn_kernel(
         bound = jnp.minimum(kv_len, jnp.max(pos) + 1)
         num_chunks = pl.cdiv(bound, Tc)
 
-        # pages past the row's KV bound carry nothing the masks keep —
-        # skip their DMAs entirely (matters for short-sequence decode,
-        # where a fixed chunk would otherwise over-fetch up to CP pages)
         def start_dma(slot, ci):
             for j in range(CP):
-                @pl.when((ci * CP + j) * ps < bound)
-                def _():
-                    page = pt_ref[b, ci * CP + j]
-                    pltpu.make_async_copy(
-                        kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
-                    ).start()
+                page = pt_ref[b, ci * CP + j]
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
 
-        def wait_dma(slot, ci):
+        def wait_dma(slot):
             for j in range(CP):
-                @pl.when((ci * CP + j) * ps < bound)
-                def _():
-                    pltpu.make_async_copy(
-                        kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
-                    ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
 
         start_dma(0, 0)
 
@@ -121,28 +114,19 @@ def _attn_kernel(
                 start_dma((ci + 1) % 2, ci + 1)
 
             slot = ci % 2
-            wait_dma(slot, ci)
+            wait_dma(slot)
             kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
 
             kv_idx = ci * Tc + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, Tc), dimension=1
             )
             mask = (kv_idx <= pos_q) & (kv_idx < kv_len) & valid_row
-            # rows past the bound come from skipped DMAs (uninitialized
-            # VMEM): zero them so 0-probability columns can't inject NaN
-            # through the PV matmul
-            col_live = (
-                ci * Tc
-                + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), dimension=0)
-            ) < bound
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
                 # cast up from the pool dtype (bf16 or fp8 KV) for the MXU
                 k = kv[:, 2 * h, :].astype(q_ref.dtype)  # [Tc, hd]
                 v = kv[:, 2 * h + 1, :].astype(q_ref.dtype)
-                k = jnp.where(col_live, k, 0)
-                v = jnp.where(col_live, v, 0)
                 for g in range(G):
                     j = h * G + g
                     s = jax.lax.dot_general(
