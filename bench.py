@@ -59,6 +59,7 @@ def main() -> None:
         max_seq_len_override=2048,
         cache_type="radix",
         decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "8")),
+        attention_backend=os.environ.get("BENCH_ATTN_BACKEND", "auto"),
     )
     # Warmup pass: the SAME workload shape with different random prompts,
     # so every (phase, bucket) executable the timed pass needs is already
