@@ -224,8 +224,11 @@ class Engine:
         assert batch.metadata is not None
         m = batch.metadata
         dims = (len(m.seq_lens), len(m.out_slots), m.page_table.shape[1])
-        # ONE host->device transfer per step (packed wire format)
-        packed = jnp.asarray(pack_step_meta(m))
+        # ONE host->device transfer per step (packed wire format); placed
+        # with the mesh-wide replicated sharding so the same call works in
+        # multi-controller (multi-host) mode, where every host dispatches
+        # the identical batch (scheduler lockstep)
+        packed = jax.device_put(pack_step_meta(m), self.mesh_info.replicated)
         step = self._get_step_fn(
             batch.phase, all_greedy(batch), dims, batch.decode_steps
         )
@@ -261,13 +264,19 @@ class Engine:
                         "decode", greedy, (bs, bs, PB), decode_steps=k
                     )
                     self.state, tokens = step(
-                        self.params, self.state, jnp.asarray(pack_step_meta(m))
+                        self.params,
+                        self.state,
+                        jax.device_put(
+                            pack_step_meta(m), self.mesh_info.replicated
+                        ),
                     )
             T0 = self.token_buckets[0]
             m = self._dummy_meta("prefill", 1, T0, PB)
             step = self._get_step_fn("prefill", greedy, (1, T0, PB))
             self.state, tokens = step(
-                self.params, self.state, jnp.asarray(pack_step_meta(m))
+                self.params,
+                self.state,
+                jax.device_put(pack_step_meta(m), self.mesh_info.replicated),
             )
         jax.block_until_ready(tokens)
         logger.info(

@@ -1,0 +1,50 @@
+"""Worker process for the 2-node lockstep serving test (run by
+test_multihost_e2e.py): one scheduler per "host", TP=2 across the two
+processes via jax.distributed over localhost, request stream lockstepped by
+the ZMQ counted broadcast (scheduler/io.py).
+
+Usage: python multihost_worker.py <node_rank> <base_port> <model_dir>
+"""
+
+import os
+import sys
+
+node_rank = int(sys.argv[1])
+base_port = int(sys.argv[2])
+model_dir = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from minisgl_tpu.engine.config import SchedulerConfig
+from minisgl_tpu.scheduler.scheduler import Scheduler
+
+config = SchedulerConfig(
+    model_path=model_dir,
+    tp_size=2,
+    use_dummy_weight=True,
+    max_running_req=4,
+    max_seq_len_override=128,
+    num_page_override=128,
+    page_size=4,
+    cache_type="naive",
+    attention_backend="xla",
+    num_nodes=2,
+    node_rank=node_rank,
+    lockstep_port=base_port,
+    dist_init_port=base_port + 10,
+    _unique_suffix=f".mh{base_port}",
+)
+
+scheduler = Scheduler(config)
+print(f"NODE{node_rank} READY devices={jax.device_count()}", flush=True)
+scheduler.run_forever()
+print(f"NODE{node_rank} EXIT", flush=True)

@@ -1,0 +1,108 @@
+"""Two-process multi-host serving: TP=2 spans two OS processes (one CPU
+device each) through jax.distributed, with the request stream lockstepped by
+the counted ZMQ broadcast. The test impersonates the tokenizer/detokenizer
+over the real wire protocol (the reference's fake-frontend pattern,
+tests/core/test_scheduler.py:26-73, extended across "hosts")."""
+
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from minisgl_tpu.core import SamplingParams
+from minisgl_tpu.message import BatchBackendMsg, ExitMsg, UserMsg
+from minisgl_tpu.utils import ZmqPullQueue, ZmqPushQueue
+
+
+def _free_port_block():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_tp2_lockstep(tmp_path):
+    from tests.helpers import save_tiny_hf_model
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    save_tiny_hf_model(model_dir, "llama")
+
+    base_port = _free_port_block()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(base_port), model_dir],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+        for rank in (0, 1)
+    ]
+    suffix = f".mh{base_port}"
+    feeder = ZmqPushQueue(f"ipc:///tmp/minisgl_tpu_0{suffix}", bind=False)
+    sink = ZmqPullQueue(f"ipc:///tmp/minisgl_tpu_1{suffix}", bind=True)
+
+    try:
+        # wait for engines (weights + jax.distributed + warmupless init)
+        deadline = time.time() + 240
+        msg = UserMsg(
+            uid=1,
+            input_ids=np.asarray([3, 5, 7, 9], np.int32),
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=6, ignore_eos=True
+            ),
+        )
+        feeder.put(BatchBackendMsg(data=[msg]))
+
+        tokens = []
+        while time.time() < deadline and len(tokens) < 6:
+            for p in procs:
+                if p.poll() is not None:
+                    out = p.stdout.read().decode()
+                    raise RuntimeError(f"worker died:\n{out[-4000:]}")
+            batch = sink.get(block=False)
+            if batch is None:
+                time.sleep(0.5)
+                continue
+            for d in batch.data:
+                tokens.append(d.next_token)
+                if d.finished:
+                    break
+        assert len(tokens) == 6, f"got {tokens}"
+
+        # single-process reference must produce identical greedy tokens
+        from minisgl_tpu.llm import LLM
+
+        ref = LLM(
+            model_dir,
+            use_dummy_weight=True,
+            max_running_req=4,
+            max_seq_len_override=128,
+            num_page_override=128,
+            page_size=4,
+            cache_type="naive",
+            attention_backend="xla",
+        ).generate(
+            [[3, 5, 7, 9]],
+            SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        )
+        assert tokens == ref[0]["token_ids"], (tokens, ref[0]["token_ids"])
+
+        feeder.put(BatchBackendMsg(data=[ExitMsg()]))
+        for p in procs:
+            p.wait(timeout=30)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        feeder.stop()
+        sink.stop()
