@@ -142,3 +142,13 @@ def test_bad_json_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_profile_endpoint(server):
+    status, out = _post(
+        f"{server}/debug/profile", {"action": "start", "log_dir": "/tmp/mslt_prof_test"}
+    )
+    assert status == 200 and out["ok"]
+    time.sleep(1)
+    status, out = _post(f"{server}/debug/profile", {"action": "stop"})
+    assert status == 200
