@@ -15,7 +15,6 @@ functional formulation of the reference's mutable Context
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

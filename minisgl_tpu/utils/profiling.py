@@ -7,7 +7,6 @@ and start/stop_device_trace wrap jax.profiler for on-demand capture
 
 from __future__ import annotations
 
-import contextlib
 import functools
 from typing import Optional
 
