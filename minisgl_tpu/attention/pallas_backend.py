@@ -102,9 +102,18 @@ def _attn_kernel(
         valid_row = qrid_ref[0] == b  # [BQ, 1]
 
         q_f = q_ref[:].astype(jnp.float32) * scale  # [BQ, Hq, hd]
-        q_heads = [
-            q_f[:, j, :].astype(q_ref.dtype) for j in range(Hq)
-        ]  # each [BQ, hd]; head j attends kv head j // G
+        if BQ == 1:
+            # decode: group the G query heads of each kv head into one
+            # [G, hd] block — one dot per kv head instead of G matvecs
+            # (q_ref[0, a:b, :] is a clean 2D slice; no cross-row reshape)
+            q_heads = [
+                q_f[0, h * G : (h + 1) * G, :].astype(q_ref.dtype)
+                for h in range(kvh)
+            ]
+        else:
+            q_heads = [
+                q_f[:, j, :].astype(q_ref.dtype) for j in range(Hq)
+            ]  # each [BQ, hd]; head j attends kv head j // G
 
         def chunk_body(ci, carry):
             ms, ls, accs = carry
@@ -127,14 +136,14 @@ def _attn_kernel(
                 # cast up from the pool dtype (bf16 or fp8 KV) for the MXU
                 k = kv[:, 2 * h, :].astype(q_ref.dtype)  # [Tc, hd]
                 v = kv[:, 2 * h + 1, :].astype(q_ref.dtype)
-                for g in range(G):
-                    j = h * G + g
+                groups = [h] if BQ == 1 else range(h * G, (h + 1) * G)
+                for j in groups:
                     s = jax.lax.dot_general(
                         q_heads[j],
                         k,
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [BQ, Tc]
+                    )  # [rows, Tc] (rows = G for decode, BQ for prefill)
                     s = jnp.where(mask, s, _NEG_INF)
                     m_new = jnp.maximum(
                         ms[j], jnp.max(s, axis=1, keepdims=True)
@@ -147,22 +156,31 @@ def _attn_kernel(
                         v,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [BQ, hd]
+                    )  # [rows, hd]
                     new_ms.append(m_new)
                     new_ls.append(l_new)
                     new_accs.append(accs[j] * alpha + pv)
             return tuple(new_ms), tuple(new_ls), tuple(new_accs)
 
+        n_carries, rows = (kvh, G) if BQ == 1 else (Hq, BQ)
         init = (
-            tuple(jnp.full((BQ, 1), _NEG_INF, jnp.float32) for _ in range(Hq)),
-            tuple(jnp.zeros((BQ, 1), jnp.float32) for _ in range(Hq)),
-            tuple(jnp.zeros((BQ, hd), jnp.float32) for _ in range(Hq)),
+            tuple(
+                jnp.full((rows, 1), _NEG_INF, jnp.float32)
+                for _ in range(n_carries)
+            ),
+            tuple(jnp.zeros((rows, 1), jnp.float32) for _ in range(n_carries)),
+            tuple(jnp.zeros((rows, hd), jnp.float32) for _ in range(n_carries)),
         )
         ms, ls, accs = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
 
-        for j in range(Hq):
-            o_j = accs[j] / jnp.maximum(ls[j], 1e-30)  # [BQ, hd]
-            o_ref[:, j, :] = o_j.astype(o_ref.dtype)
+        if BQ == 1:
+            for h in range(kvh):
+                o_h = accs[h] / jnp.maximum(ls[h], 1e-30)  # [G, hd]
+                o_ref[0, h * G : (h + 1) * G, :] = o_h.astype(o_ref.dtype)
+        else:
+            for j in range(Hq):
+                o_j = accs[j] / jnp.maximum(ls[j], 1e-30)  # [BQ, hd]
+                o_ref[:, j, :] = o_j.astype(o_ref.dtype)
 
 
 def pallas_ragged_paged_attention(
