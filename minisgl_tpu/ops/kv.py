@@ -48,4 +48,11 @@ def store_kv(
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
     kv_new = interleave_kv(k_new, v_new).astype(kv_pool.dtype)
-    return kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+    if jax.default_backend() == "cpu":
+        # XLA scatter (fine on CPU / tests); the Pallas DMA store is the
+        # production path — the scatter's cost on TPU scales with the pool,
+        # not the written rows (BENCHLOG.md decomposition)
+        return kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+    from minisgl_tpu.ops.store_pallas import pallas_store_kv
+
+    return pallas_store_kv(kv_pool, rows, offs, kv_new)

@@ -1,0 +1,69 @@
+"""Pallas paged-KV store: scatter T new KV rows into the combined pool
+IN PLACE.
+
+The TPU counterpart of the reference's store.cu warp-per-token scatter
+(/root/reference/python/minisgl/kernel/csrc/jit/store.cu:28-53). The XLA
+scatter (`pool.at[rows, offs].set`) measured as the dominant decode cost —
+its cost scales with the pool, not the written rows (BENCHLOG.md). Here each
+grid program DMAs one token's [2*kvh, hd] row from VMEM into its
+(page row, offset) slot of the HBM pool, with ``input_output_aliases``
+keeping the pool buffer in place through the lax.scan carry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _store_kernel(
+    rows_ref,  # [T] i32 scalar prefetch: pool row (page) per token
+    offs_ref,  # [T] i32 scalar prefetch: in-page offset per token
+    kv_new_ref,  # VMEM [1, 2*kvh, hd] this token's interleaved K/V
+    pool_in_ref,  # ANY [N, ps, 2*kvh, hd] (aliased)
+    pool_out_ref,  # ANY [N, ps, 2*kvh, hd] (= pool_in)
+    sem,  # DMA semaphore
+):
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        kv_new_ref.at[0],
+        pool_out_ref.at[rows_ref[i], offs_ref[i]],
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+
+def pallas_store_kv(
+    kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
+    rows: jax.Array,  # [T] i32
+    offs: jax.Array,  # [T] i32
+    kv_new: jax.Array,  # [T, 2*kvh, hd]
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    T, kvh2, hd = kv_new.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, kvh2, hd), lambda i, rows, offs: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_store_kernel),
+        out_shape=jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+        grid_spec=grid_spec,
+        # operand order: rows, offs (prefetch), kv_new, pool — pool is
+        # operand 3 and aliases output 0 (in-place through the scan carry)
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rows, offs, kv_new.astype(kv_pool.dtype), kv_pool)
