@@ -48,10 +48,12 @@ def store_kv(
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
     kv_new = interleave_kv(k_new, v_new).astype(kv_pool.dtype)
-    if jax.default_backend() == "cpu":
-        # XLA scatter (fine on CPU / tests); the Pallas DMA store is the
-        # production path — the scatter's cost on TPU scales with the pool,
-        # not the written rows (BENCHLOG.md decomposition)
+    T = kv_new.shape[0]
+    if jax.default_backend() == "cpu" or T > 256:
+        # XLA scatter: fine on CPU/tests, and better for big prefill writes
+        # (the Pallas store is one serial DMA per token). On TPU decode the
+        # scatter's cost scales with the pool, not the written rows
+        # (BENCHLOG.md decomposition), so small-T steps take the Pallas path.
         return kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
     from minisgl_tpu.ops.store_pallas import pallas_store_kv
 
