@@ -183,6 +183,122 @@ def _attn_kernel(
                 o_ref[:, j, :] = o_j.astype(o_ref.dtype)
 
 
+def _decode_kernel(
+    # scalar prefetch (same order as _attn_kernel)
+    cu_q_blocks_ref,  # [B+1] i32 (decode: arange)
+    kv_lens_ref,  # [B] i32
+    num_seqs_ref,  # [1] i32
+    pt_ref,  # [B, PB] i32 page tables (SMEM)
+    # inputs
+    q_ref,  # VMEM [1, Hq, hd]
+    pos_ref,  # VMEM [1, 1, 1] i32
+    qrid_ref,  # VMEM [1, 1, 1] i32
+    kv_hbm,  # ANY  [N, ps, 2*kvh, hd]
+    # outputs
+    o_ref,  # VMEM [1, Hq, hd]
+    # scratch
+    kv_buf,  # VMEM [2, CP, ps, 2*kvh, hd]
+    sems,  # DMA [2, CP]
+    *,
+    scale: float,
+    pages_per_chunk: int,
+):
+    """Decode (q_len=1) specialization: ALL kv heads in two matmuls/chunk.
+
+    The per-head formulation (_attn_kernel) issues ~8 tiny VPU/MXU ops per
+    kv head per chunk; at bs=128 that instruction overhead — not HBM
+    bandwidth — dominated the decode step (benchmark/decode_ablation.py:
+    attention 27 ms of a 30 ms step). Here scores for every (q head, kv head)
+    pair are ONE [Hq, hd] x [hd, Tc*kvh] dot against the flattened chunk; an
+    off-head mask -inf's the pairs that don't interact (8x redundant FLOPs on
+    a ~2% utilized MXU — free), so softmax + PV also collapse to one op each.
+    The masked probabilities are zero off-head, making p @ V_all exact.
+    """
+    b = pl.program_id(0)
+    CP = pages_per_chunk
+    _, Hq, hd = q_ref.shape
+    ps = kv_buf.shape[2]
+    kvh = kv_buf.shape[3] // 2
+    G = Hq // kvh
+    Tc = CP * ps
+    W = Tc * kvh  # flattened score width; column c = token c//kvh, head c%kvh
+
+    run = b < num_seqs_ref[0]
+
+    @pl.when(run)
+    def _():
+        kv_len = kv_lens_ref[b]
+        pos = pos_ref[0, 0, 0]
+        bound = jnp.minimum(kv_len, pos + 1)
+        num_chunks = pl.cdiv(bound, Tc)
+
+        def start_dma(slot, ci):
+            for j in range(CP):
+                page = pt_ref[b, ci * CP + j]
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
+
+        def wait_dma(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+
+        start_dma(0, 0)
+
+        valid = qrid_ref[0, 0, 0] == b
+
+        q_f = q_ref[0].astype(jnp.float32) * scale  # [Hq, hd]
+        q_all = q_f.astype(q_ref.dtype)
+
+        # off-head mask: score row j (q head) only sees columns whose
+        # kv head c%kvh == j//G — static, hoisted out of the chunk loop
+        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 0) // G
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) % kvh
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) // kvh
+        head_ok = (col_h == row_kvh) & valid
+
+        def chunk_body(ci, carry):
+            m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,hd]
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                start_dma((ci + 1) % 2, ci + 1)
+
+            slot = ci % 2
+            wait_dma(slot)
+            kv4 = kv_buf[slot].reshape(Tc, kvh, 2, hd)
+            k_all = kv4[:, :, 0, :].reshape(W, hd)  # row r = token r//kvh
+            v_all = kv4[:, :, 1, :].reshape(W, hd)
+
+            t_idx = ci * Tc + col_t
+            mask = head_ok & (t_idx <= pos) & (t_idx < kv_len)
+
+            s = jax.lax.dot_general(
+                q_all, k_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, W]
+            s = jnp.where(mask, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # off-head/off-range columns exp to 0
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, hd]: zero weights off-head make this exact
+            return m_new, l_new, acc * alpha + pv
+
+        init = (
+            jnp.full((Hq, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((Hq, 1), jnp.float32),
+            jnp.zeros((Hq, hd), jnp.float32),
+        )
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def pallas_ragged_paged_attention(
     q: jax.Array,  # [T, Hq, hd]
     kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
@@ -250,9 +366,14 @@ def pallas_ragged_paged_attention(
         [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
     ).reshape(n_blocks + 1, BQ, 1)
 
-    kernel = functools.partial(
-        _attn_kernel, scale=scale, block_q=BQ, pages_per_chunk=CP
-    )
+    if BQ == 1:
+        kernel = functools.partial(
+            _decode_kernel, scale=scale, pages_per_chunk=CP
+        )
+    else:
+        kernel = functools.partial(
+            _attn_kernel, scale=scale, block_q=BQ, pages_per_chunk=CP
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype),
@@ -280,11 +401,14 @@ QUERY_ALIGN = {"pallas": 64, "rpa": 1, "xla": 1}
 
 
 def make_pallas_attention(*, page_size: int, scale: float, phase: str):
+    from minisgl_tpu.env import ENV
+
     block_q = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
+    cp = ENV.PAGES_PER_CHUNK
 
     def impl(q, kv_pool, meta: AttnMetadata):
         return pallas_ragged_paged_attention(
-            q, kv_pool, meta, scale=scale, block_q=block_q
+            q, kv_pool, meta, scale=scale, block_q=block_q, pages_per_chunk=cp
         )
 
     return impl

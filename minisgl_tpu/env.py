@@ -57,6 +57,9 @@ class _Env:
     # Per-chip HBM budget (GB) used for KV sizing when the device exposes no
     # memory_stats (e.g. tunneled devices). v5e default.
     HBM_GB = EnvField("HBM_GB", 16.0, float)
+    # KV pages fetched per double-buffered DMA chunk in the Pallas attention
+    # kernel (A/B knob; e2e-measured default).
+    PAGES_PER_CHUNK = EnvField("PAGES_PER_CHUNK", 8, int)
 
 
 ENV = _Env()

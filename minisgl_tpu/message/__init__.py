@@ -99,6 +99,9 @@ class DetokenizeMsg:
     # filled on the finished message only (OpenAI usage accounting)
     prompt_tokens: int = 0
     completion_tokens: int = 0
+    # client-disconnect abort: the detokenizer drops its per-uid streaming
+    # state and emits no reply (nobody is listening)
+    aborted: bool = False
 
 
 @register_msg

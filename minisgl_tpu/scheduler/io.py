@@ -59,25 +59,24 @@ class SchedulerIOMixin:
 
         ctx = zmq.Context.instance()
         if self._is_primary:
-            self._bcast = ctx.socket(zmq.PUB)
+            # XPUB (not PUB): the socket surfaces one \x01 subscription frame
+            # per joining subscriber, so waiting for those proves every
+            # follower's SUBSCRIBE actually reached this socket — no
+            # slow-joiner race, no sleep. (A PUSH rendezvous only proves the
+            # follower's *other* socket connected.)
+            self._bcast = ctx.socket(zmq.XPUB)
+            self._bcast.setsockopt(zmq.XPUB_VERBOSE, 1)  # 1 event per peer
             self._bcast.bind(config.lockstep_pub_addr)
-            ready = ctx.socket(zmq.PULL)
-            ready.bind(config.lockstep_ready_addr)
-            for _ in range(self._num_nodes - 1):
-                ready.recv()  # rendezvous: every follower is subscribed
-            ready.close()
-            logger.info(f"lockstep: {self._num_nodes - 1} followers joined")
+            joined = 0
+            while joined < self._num_nodes - 1:
+                ev = self._bcast.recv()
+                if ev[:1] == b"\x01":
+                    joined += 1
+            logger.info(f"lockstep: {joined} followers subscribed")
         else:
             self._bcast = ctx.socket(zmq.SUB)
             self._bcast.connect(config.lockstep_pub_addr)
             self._bcast.setsockopt(zmq.SUBSCRIBE, b"")
-            import time
-
-            time.sleep(0.2)  # let SUB connect before signalling ready
-            ready = ctx.socket(zmq.PUSH)
-            ready.connect(config.lockstep_ready_addr)
-            ready.send(b"ready")
-            ready.close()
 
     def _publish_msgs(self, msgs: List[BaseBackendMsg]) -> None:
         frames = [str(len(msgs)).encode()] + [dumps(m) for m in msgs]

@@ -256,6 +256,16 @@ class Scheduler(SchedulerIOMixin):
             req = req or self.decode_manager.abort_req(msg.uid)
             if req is not None and req not in self.finished_reqs:
                 self._free_req_resources(req)
+                # tell the detokenizer to drop its per-uid streaming state
+                # (otherwise it leaks for the server's lifetime)
+                self.send_result(
+                    [
+                        DetokenizeMsg(
+                            uid=msg.uid, next_token=0, finished=True,
+                            aborted=True,
+                        )
+                    ]
+                )
         else:
             raise NotImplementedError(f"unknown message {type(msg)}")
 

@@ -98,15 +98,32 @@ class FrontendManager:
 
 
 def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
+    # explicit key check (not `or`-coercion): "max_tokens": 0 must be
+    # rejected as invalid, not silently replaced by the default
+    if "max_tokens" in body:
+        max_tokens = body["max_tokens"]
+    elif "max_completion_tokens" in body:
+        max_tokens = body["max_completion_tokens"]
+    else:
+        max_tokens = 1024
+    if not isinstance(max_tokens, int) or max_tokens <= 0:
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {
+                    "error": {
+                        "message": "max_tokens must be a positive integer",
+                        "type": "invalid_request_error",
+                    }
+                }
+            ),
+            content_type="application/json",
+        )
+    temperature = body.get("temperature")
     return SamplingParams(
-        temperature=float(body.get("temperature", 0.0) or 0.0),
+        temperature=float(0.0 if temperature is None else temperature),
         top_k=int(body.get("top_k", -1) or -1),
         top_p=float(body.get("top_p", 1.0) or 1.0),
-        max_tokens=int(
-            body.get("max_tokens")
-            or body.get("max_completion_tokens")
-            or 1024
-        ),
+        max_tokens=max_tokens,
         ignore_eos=bool(body.get("ignore_eos", False)),
     )
 

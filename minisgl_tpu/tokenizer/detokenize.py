@@ -23,9 +23,12 @@ def find_safe_len(text: str) -> int:
     """Length of the prefix that cannot change with more input: stop before a
     trailing replacement char (incomplete UTF-8 from a split multi-byte
     token)."""
-    if text.endswith("�"):
-        return len(text) - 1
-    return len(text)
+    n = len(text)
+    # an incomplete multi-byte sequence can render as SEVERAL replacement
+    # chars (e.g. a 4-byte emoji split after 2 bytes) — hold back all of them
+    while n > 0 and text[n - 1] == "�":
+        n -= 1
+    return n
 
 
 @dataclass

@@ -101,6 +101,9 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
             replies = []
             for batch in batches:
                 for msg in batch.data:
+                    if msg.aborted:
+                        manager.abort(msg.uid)
+                        continue
                     text = manager.detokenize(
                         msg.uid, msg.next_token, msg.finished
                     )

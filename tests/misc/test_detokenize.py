@@ -58,6 +58,24 @@ def test_independent_uids(tokenizer):
     assert out_a == "aaaa" and out_b == "bbbb"
 
 
+def test_emoji_split_multibyte(tokenizer):
+    # a 4-byte emoji split across byte-level tokens renders as SEVERAL
+    # replacement chars mid-stream; none may be emitted early
+    text = "ok 🎉🎊 done"
+    chunks = _stream(tokenizer, text)
+    assert "".join(chunks) == text
+    assert all("�" not in c for c in chunks)
+
+
+def test_find_safe_len_strips_all_trailing_fffd():
+    from minisgl_tpu.tokenizer.detokenize import find_safe_len
+
+    assert find_safe_len("ab��") == 2
+    assert find_safe_len("ab�") == 2
+    assert find_safe_len("���") == 0
+    assert find_safe_len("abc") == 3
+
+
 def test_abort_clears_state(tokenizer):
     mgr = DetokenizeManager(tokenizer)
     mgr.detokenize(5, tokenizer.encode("x")[0], finished=False)
