@@ -39,6 +39,7 @@ K = int(os.environ.get("ABL_K", "8"))
 KV_LEN = int(os.environ.get("ABL_KV_LEN", "512"))
 ITERS = int(os.environ.get("ABL_ITERS", "20"))
 PAGES = int(os.environ.get("ABL_PAGES", "7000"))
+PS = int(os.environ.get("ABL_PAGE_SIZE", "16"))
 
 
 def build_meta(engine, bs: int, kv_len: int):
@@ -177,7 +178,8 @@ def main() -> None:
                 use_dummy_weight=True,
                 max_running_req=BS,
                 max_seq_len_override=2048,
-                num_page_override=PAGES,
+                num_page_override=PAGES * 16 // PS,
+                page_size=PS,
             )
         )
         for v in pool_variants:

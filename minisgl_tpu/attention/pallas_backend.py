@@ -5,7 +5,7 @@ The TPU-native counterpart of the reference's attention kernels
 fi.py FlashInfer): one kernel serves all three query modes — decode
 (q_len=1), full prefill, and extend-after-prefix-hit — against the combined
 paged KV pool (ops/kv.py layout ``[N_pages, page_size, 2*kvh, hd]``, K/V
-interleaved on the heads axis, ``meta.page_table`` pre-offset to the layer).
+head-blocked on the heads axis, ``meta.page_table`` pre-offset to the layer).
 
 Design:
 - grid = (num_seqs_padded, max_q_blocks). Each program owns one ``BQ``-row
@@ -134,8 +134,8 @@ def _attn_kernel(
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
                 # cast up from the pool dtype (bf16 or fp8 KV) for the MXU
-                k = kv[:, 2 * h, :].astype(q_ref.dtype)  # [Tc, hd]
-                v = kv[:, 2 * h + 1, :].astype(q_ref.dtype)
+                k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
+                v = kv[:, kvh + h, :].astype(q_ref.dtype)
                 groups = [h] if BQ == 1 else range(h * G, (h + 1) * G)
                 for j in groups:
                     s = jax.lax.dot_general(
@@ -197,31 +197,37 @@ def _decode_kernel(
     # outputs
     o_ref,  # VMEM [1, Hq, hd]
     # scratch
-    kv_buf,  # VMEM [2, CP, ps, 2*kvh, hd]
-    sems,  # DMA [2, CP]
+    k_buf,  # VMEM [2, CP, ps, kvh, hd]
+    v_buf,  # VMEM [2, CP, ps, kvh, hd]
+    sems,  # DMA [2, CP, 2]
+    par_ref,  # SMEM [1] i32: buffer parity carried across grid programs
     *,
     scale: float,
     pages_per_chunk: int,
+    diag: str = "",
 ):
     """Decode (q_len=1) specialization: ALL kv heads in two matmuls/chunk.
 
     The per-head formulation (_attn_kernel) issues ~8 tiny VPU/MXU ops per
     kv head per chunk; at bs=128 that instruction overhead — not HBM
     bandwidth — dominated the decode step (benchmark/decode_ablation.py:
-    attention 27 ms of a 30 ms step). Here scores for every (q head, kv head)
-    pair are ONE [Hq, hd] x [hd, Tc*kvh] dot against the flattened chunk; an
-    off-head mask -inf's the pairs that don't interact (8x redundant FLOPs on
-    a ~2% utilized MXU — free), so softmax + PV also collapse to one op each.
-    The masked probabilities are zero off-head, making p @ V_all exact.
+    attention 27 ms of a 30 ms step). Here the K and V planes of each page
+    DMA into separate VMEM buffers (the pool's block head order makes the
+    source a clean strided slice; an element shuffle in VMEM would be far
+    worse), and scores for every (q head, kv head) pair are ONE
+    [Hq, hd] x [hd, kvh*Tc] dot against the flattened K buffer. A mask
+    -inf's the (q head, kv head) pairs that don't interact (8x redundant
+    FLOPs on a ~2% utilized MXU — free), so softmax + PV collapse to one op
+    each per chunk: the zero-elsewhere probabilities make p @ V_all exact.
     """
     b = pl.program_id(0)
     CP = pages_per_chunk
     _, Hq, hd = q_ref.shape
-    ps = kv_buf.shape[2]
-    kvh = kv_buf.shape[3] // 2
+    ps = k_buf.shape[2]
+    kvh = k_buf.shape[3]
     G = Hq // kvh
     Tc = CP * ps
-    W = Tc * kvh  # flattened score width; column c = token c//kvh, head c%kvh
+    W = Tc * kvh  # flattened width; col c = token c//kvh, kv head c%kvh
 
     run = b < num_seqs_ref[0]
 
@@ -232,56 +238,103 @@ def _decode_kernel(
         bound = jnp.minimum(kv_len, pos + 1)
         num_chunks = pl.cdiv(bound, Tc)
 
-        def start_dma(slot, ci):
+        def start_dma(row, slot, ci):
             for j in range(CP):
-                page = pt_ref[b, ci * CP + j]
+                page = pt_ref[row, ci * CP + j]
                 pltpu.make_async_copy(
-                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                    kv_hbm.at[page, :, 0:kvh, :],
+                    k_buf.at[slot, j],
+                    sems.at[slot, j, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_hbm.at[page, :, kvh : 2 * kvh, :],
+                    v_buf.at[slot, j],
+                    sems.at[slot, j, 1],
                 ).start()
 
         def wait_dma(slot):
             for j in range(CP):
                 pltpu.make_async_copy(
-                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                    kv_hbm.at[0, :, 0:kvh, :],
+                    k_buf.at[slot, j],
+                    sems.at[slot, j, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm.at[0, :, kvh : 2 * kvh, :],
+                    v_buf.at[slot, j],
+                    sems.at[slot, j, 1],
                 ).wait()
 
-        start_dma(0, 0)
+        # Cross-sequence prefetch: program b-1 already issued THIS program's
+        # chunk 0 into slot par_ref[0] (and set the parity), hiding the DMA
+        # cold-start bubble that would otherwise be exposed at every sequence
+        # boundary. Program 0 bootstraps itself.
+        @pl.when(b == 0)
+        def _():
+            par_ref[0] = 0
+            start_dma(0, 0, 0)
+
+        p0 = par_ref[0]
 
         valid = qrid_ref[0, 0, 0] == b
 
         q_f = q_ref[0].astype(jnp.float32) * scale  # [Hq, hd]
         q_all = q_f.astype(q_ref.dtype)
 
-        # off-head mask: score row j (q head) only sees columns whose
-        # kv head c%kvh == j//G — static, hoisted out of the chunk loop
+        # own-head mask: score row j (q head) keeps only columns whose
+        # kv head c%kvh == j//G — static, hoisted out of the chunk loop as an
+        # ADDITIVE mask so each chunk pays one add, not compare+select
         row_kvh = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 0) // G
         col_h = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) % kvh
         col_t = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) // kvh
         head_ok = (col_h == row_kvh) & valid
+        amask_head = jnp.where(head_ok, 0.0, _NEG_INF)  # [Hq, W] f32
 
         def chunk_body(ci, carry):
             m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,hd]
 
             @pl.when(ci + 1 < num_chunks)
             def _():
-                start_dma((ci + 1) % 2, ci + 1)
+                start_dma(b, (p0 + ci + 1) % 2, ci + 1)
 
-            slot = ci % 2
+            # last chunk: its predecessor slot is free — prefetch the NEXT
+            # real sequence's chunk 0 there and publish the parity
+            @pl.when(
+                jnp.logical_and(
+                    ci + 1 == num_chunks, b + 1 < num_seqs_ref[0]
+                )
+            )
+            def _():
+                start_dma(b + 1, (p0 + ci + 1) % 2, 0)
+
+            slot = (p0 + ci) % 2
             wait_dma(slot)
-            kv4 = kv_buf[slot].reshape(Tc, kvh, 2, hd)
-            k_all = kv4[:, :, 0, :].reshape(W, hd)  # row r = token r//kvh
-            v_all = kv4[:, :, 1, :].reshape(W, hd)
+            k_all = k_buf[slot].reshape(W, hd)  # contiguous: free
+            v_all = v_buf[slot].reshape(W, hd)
 
-            t_idx = ci * Tc + col_t
-            mask = head_ok & (t_idx <= pos) & (t_idx < kv_len)
+            if diag == "dmaonly":  # diagnostic: DMA + loop floor, no attn
+                touch = (
+                    k_all[:Hq].astype(jnp.float32)
+                    + v_all[:Hq].astype(jnp.float32)
+                )
+                return m, l, acc + touch
 
             s = jax.lax.dot_general(
                 q_all, k_all, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Hq, W]
-            s = jnp.where(mask, s, _NEG_INF)
+            s = s + amask_head
+            # only the FINAL chunk can contain out-of-range tokens
+            # (t >= bound = min(pos+1, kv_len)); interior chunks skip the
+            # token-range mask entirely
+            s = jax.lax.cond(
+                ci + 1 == num_chunks,
+                lambda s: jnp.where(ci * Tc + col_t < bound, s, _NEG_INF),
+                lambda s: s,
+                s,
+            )
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)  # off-head/off-range columns exp to 0
+            p = jnp.exp(s - m_new)  # zero off own-head columns
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
@@ -296,6 +349,7 @@ def _decode_kernel(
             jnp.zeros((Hq, hd), jnp.float32),
         )
         m, l, acc = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        par_ref[0] = (p0 + num_chunks) % 2  # next program's chunk-0 slot
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -350,10 +404,19 @@ def pallas_ragged_paged_attention(
             (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
                 _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, CP)),
-        ],
+        scratch_shapes=(
+            [  # decode: split K/V planes (see _decode_kernel)
+                pltpu.VMEM((2, CP, ps, kvh2 // 2, hd), kv_pool.dtype),
+                pltpu.VMEM((2, CP, ps, kvh2 // 2, hd), kv_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, CP, 2)),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
+            if BQ == 1
+            else [
+                pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, CP)),
+            ]
+        ),
     )
 
     # one trailing garbage block absorbs skipped programs' flushes
@@ -367,8 +430,13 @@ def pallas_ragged_paged_attention(
     ).reshape(n_blocks + 1, BQ, 1)
 
     if BQ == 1:
+        import os
+
         kernel = functools.partial(
-            _decode_kernel, scale=scale, pages_per_chunk=CP
+            _decode_kernel,
+            scale=scale,
+            pages_per_chunk=CP,
+            diag=os.environ.get("MSLT_DECODE_DIAG", ""),
         )
     else:
         kernel = functools.partial(

@@ -19,7 +19,7 @@ from minisgl_tpu.attention.metadata import AttnMetadata
 
 def rpa_attention(
     q: jax.Array,  # [T, Hq_local, hd]
-    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd]
+    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd] K/V head-block
     meta: AttnMetadata,
     scale: float,
 ) -> jax.Array:
@@ -27,9 +27,21 @@ def rpa_attention(
         ragged_paged_attention,
     )
 
+    # our pool stores K heads then V heads per page row (ops/kv.py block
+    # layout); the library kernel wants them interleaved K0 V0 K1 V1 ... .
+    # This transposes the WHOLE pool per call — rpa is an A/B and parity
+    # backend only (it VMEM-OOMs at bs>=128 decode and crashes on prefill
+    # shapes, BENCHLOG.md), so clarity beats cost here.
+    N, ps, kvh2, hd = kv_pool.shape
+    kvh = kvh2 // 2
+    interleaved = (
+        kv_pool.reshape(N, ps, 2, kvh, hd)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(N, ps, kvh2, hd)
+    )
     return ragged_paged_attention(
         q,
-        kv_pool,
+        interleaved,
         meta.seq_lens,
         meta.page_table,
         meta.cu_q_lens,

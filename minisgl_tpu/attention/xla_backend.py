@@ -37,8 +37,8 @@ def xla_paged_attention(
     S_max = pages_cap * page_size
 
     pages = kv_pool[meta.page_table]  # [B, PB, ps, 2kvh, hd]
-    k = pages[:, :, :, 0::2, :].reshape(B, S_max, kvh, hd)
-    v = pages[:, :, :, 1::2, :].reshape(B, S_max, kvh, hd)
+    k = pages[:, :, :, :kvh, :].reshape(B, S_max, kvh, hd)
+    v = pages[:, :, :, kvh:, :].reshape(B, S_max, kvh, hd)
 
     # Per-token gather of its row's KV: [T, S_max, kvh, hd]
     k_t = k[meta.q_req_ids]

@@ -35,8 +35,10 @@ class EngineConfig:
     use_dummy_weight: bool = False
     max_seq_len_override: Optional[int] = None
     num_page_override: Optional[int] = None
-    # weight-only quantization: "none" | "int8" (per-output-channel scales,
-    # dequant fused into the matmul epilogue; BASELINE.md north star)
+    # weight-only quantization (BASELINE.md north star):
+    # "none" | "int8" (per-output-channel scales, dequant fused into the
+    # matmul epilogue) | "w8a8" (+dynamic activation quant, int8 MXU) |
+    # "int4" (2 nibbles/byte packed on the contraction axis, grouped scales)
     quantization: str = "none"
     # KV pool storage dtype: "auto" (= model dtype) | "bf16" | "fp8"
     # (float8_e4m3, dequant fused into attention)

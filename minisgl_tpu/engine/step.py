@@ -29,7 +29,7 @@ from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
 
 
 class DeviceState(NamedTuple):
-    # [L*P, page_size, 2*kvh_eff(global), hd], K/V interleaved on the heads
+    # [L*P, page_size, 2*kvh_eff(global), hd], K/V head-blocks on the heads
     # axis which is sharded over the TP mesh axis (ops/kv.py layout)
     kv: jax.Array
     token_slots: jax.Array  # [max_running_req + 1] int32, replicated

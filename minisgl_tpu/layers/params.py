@@ -51,41 +51,80 @@ class ParamInfo:
     post_transform: Optional[Transform] = None
     # Computed buffers (e.g. RoPE cos/sin cache) provide an init instead.
     init: Optional[Callable[[], np.ndarray]] = None
-    # Weight-only quantization: "int8" stores this tensor as int8 with
-    # per-output-channel scales in a sibling "<path>@scale" entry (the
-    # contraction axis is ``shape[-2]``; scales have shape[..., 1, out]).
+    # Weight-only quantization (contraction axis is ``shape[-2]``):
+    # - "int8": stored int8, per-output-channel scales in a sibling
+    #   "<path>@scale" entry of shape [..., 1, out].
+    # - "int4": two nibbles packed per int8 byte ALONG the contraction axis
+    #   (stored shape halves axis -2; logical row 2p = low nibble of packed
+    #   row p, 2p+1 = high), per-[group x output-channel] scales of shape
+    #   [..., in/group, out]. Grouped scales keep 70B-class quality
+    #   (BASELINE.md config 5); the group never crosses a TP shard.
     quant: Optional[str] = None
+    # int4 scale group size along the contraction axis (set by
+    # add_scale_entries so every shard/group boundary aligns).
+    quant_group: int = 0
     # Set on the auto-generated "<path>@scale" entry; names the weight it
     # is derived from (loader fills both from one assembly pass).
     scale_of: Optional[str] = None
+
+    @property
+    def stored_shape(self) -> Tuple[int, ...]:
+        """On-device array shape (int4 packs 2 values/byte on axis -2)."""
+        if self.quant == "int4":
+            s = list(self.shape)
+            s[-2] //= 2
+            return tuple(s)
+        return self.shape
 
 
 QUANT_SKIP_KEYS = ("embed", "lm_head", "rope_cache")  # quality-critical
 
 
-def add_scale_entries(spec: "ParamsSpec") -> "ParamsSpec":
+INT4_GROUP = 128  # target scale-group size along the contraction axis
+
+
+def _int4_group(in_dim: int, in_sharded: bool, tp: int) -> int:
+    """Largest group <= INT4_GROUP that divides the per-shard in dim."""
+    local = in_dim // tp if in_sharded else in_dim
+    g = min(INT4_GROUP, local)
+    while local % g:
+        g -= 1
+    return g
+
+
+def add_scale_entries(spec: "ParamsSpec", tp: int = 1) -> "ParamsSpec":
     """For every quantized weight add its derived @scale ParamInfo."""
     import jax.numpy as jnp
+    from dataclasses import replace
 
     out: ParamsSpec = {}
     for path, info in spec.items():
         out[path] = info
+        if info.quant not in ("int8", "int4"):
+            continue
+        in_axis = len(info.shape) - 2
+        padded_spec = tuple(info.spec) + (None,) * (
+            len(info.shape) - len(tuple(info.spec))
+        )
         if info.quant == "int8":
-            in_axis = len(info.shape) - 2
-            scale_shape = tuple(
-                1 if i == in_axis else d for i, d in enumerate(info.shape)
-            )
+            n_rows = 1
+            # the single scale row is replicated along the in axis
             scale_spec = P(
-                *(
-                    None if i == in_axis else e
-                    for i, e in enumerate(
-                        tuple(info.spec) + (None,) * (len(info.shape) - len(tuple(info.spec)))
-                    )
-                )
+                *(None if i == in_axis else e for i, e in enumerate(padded_spec))
             )
-            out[path + "@scale"] = ParamInfo(
-                scale_shape, jnp.float32, scale_spec, scale_of=path
+        else:  # int4: grouped rows inherit the weight's in-axis sharding
+            g = _int4_group(
+                info.shape[in_axis], padded_spec[in_axis] is not None, tp
             )
+            out[path] = replace(info, quant_group=g)
+            n_rows = info.shape[in_axis] // g
+            scale_spec = P(*padded_spec)
+        scale_shape = tuple(
+            n_rows if i == in_axis else d for i, d in enumerate(info.shape)
+        )
+        out[path + "@scale"] = ParamInfo(
+            scale_shape, jnp.float32, scale_spec, scale_of=path
+        )
     return out
 
 
@@ -95,6 +134,36 @@ def quantize_int8(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     scale = np.maximum(scale, 1e-8).astype(np.float32)
     q = np.clip(np.rint(arr / scale), -127, 127).astype(np.int8)
     return q, scale
+
+
+def quantize_int4(arr: np.ndarray, group: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric int4 with per-(group, output-channel) scales; pairs packed
+    low/high nibble along the contraction axis (-2). Returns
+    (packed int8 [..., in/2, out], scales f32 [..., in/group, out])."""
+    in_dim, out_dim = arr.shape[-2], arr.shape[-1]
+    assert in_dim % group == 0 and in_dim % 2 == 0, (in_dim, group)
+    lead = arr.shape[:-2]
+    g_view = arr.reshape(*lead, in_dim // group, group, out_dim)
+    scale = np.max(np.abs(g_view), axis=-2, keepdims=True) / 7.0
+    scale = np.maximum(scale, 1e-8).astype(np.float32)
+    q = np.clip(np.rint(g_view / scale), -8, 7).astype(np.int8)
+    q = q.reshape(*lead, in_dim, out_dim)
+    lo = q[..., 0::2, :].astype(np.uint8) & 0xF
+    hi = q[..., 1::2, :].astype(np.uint8) & 0xF
+    packed = (lo | (hi << 4)).view(np.int8)
+    return packed, scale.reshape(*lead, in_dim // group, out_dim)
+
+
+def unpack_int4(packed, out_dtype=None):
+    """jnp: [..., in/2, out] int8 -> [..., in, out] int8 nibbles (-8..7)."""
+    import jax.numpy as jnp
+
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-ext
+    hi = jnp.right_shift(packed, 4)
+    full = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    full = full.reshape(shape)
+    return full if out_dtype is None else full.astype(out_dtype)
 
 
 ParamsSpec = Dict[str, ParamInfo]

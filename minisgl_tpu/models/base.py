@@ -43,6 +43,7 @@ class Model:
         kv_pool: jax.Array,
         meta: AttnMetadata,
         attn_impl: AttnImpl,
+        gather_last: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         return decoder_forward(
             params,
@@ -54,12 +55,18 @@ class Model:
             meta,
             attn_impl,
             w8a8=self.quant == "w8a8",
+            gather_last=gather_last,
         )
 
 
 def create_model(cfg: ModelConfig, tp_size: int, quant: str = "none") -> Model:
     extras = resolve_extras(cfg)
     dims = ModelDims.build(cfg, tp_size)
+    if quant == "int4" and cfg.is_moe:
+        raise NotImplementedError(
+            "int4 targets dense 70B-class models (BASELINE.md config 5); "
+            "the grouped-GEMM MoE path has no packed-int4 kernel yet"
+        )
     # w8a8 stores the same int8 weights; the activation path differs
     spec_quant = "int8" if quant == "w8a8" else quant
     spec = build_param_specs(cfg, dims, extras, quant=spec_quant)

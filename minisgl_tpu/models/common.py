@@ -172,7 +172,7 @@ def build_param_specs(
             merge_axis=-1,
             stack=True,
             post_transform=post,
-            quant="int8" if (quant == "int8" and name in _QUANT_NAMES) else None,
+            quant=quant if (quant in ("int8", "int4") and name in _QUANT_NAMES) else None,
         )
 
     stacked(
@@ -279,7 +279,7 @@ def build_param_specs(
 
     from minisgl_tpu.layers.params import add_scale_entries
 
-    return add_scale_entries(spec)
+    return add_scale_entries(spec, tp=tp)
 
 
 # ------------------------------ forward ------------------------------------
@@ -319,6 +319,21 @@ def _mm(
     """
     w = lp[name]
     scale = lp.get(name + "@scale")
+    if w.dtype == jnp.int8 and w.shape[-2] * 2 == x.shape[-1]:
+        # int4 packed (stored rows = in/2): unpack nibbles, apply grouped
+        # scales, one dot — XLA fuses the dequant chain into the dot read so
+        # HBM traffic stays 0.5 byte/param
+        from minisgl_tpu.layers.params import unpack_int4
+
+        n_g = scale.shape[-2]
+        in_dim = x.shape[-1]
+        g = in_dim // n_g
+        wq = unpack_int4(w, x.dtype)  # [..., in, out]
+        wq = wq.reshape(*w.shape[:-2], n_g, g, w.shape[-1])
+        wf = (wq * scale[..., :, None, :].astype(x.dtype)).reshape(
+            *w.shape[:-2], in_dim, w.shape[-1]
+        )
+        return jnp.dot(x, wf, preferred_element_type=jnp.float32)
     if w.dtype == jnp.int8 and w8a8:
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
         sx = jnp.maximum(amax, 1e-8) / 127.0  # [T, 1]
@@ -353,8 +368,11 @@ def decoder_forward(
     meta: AttnMetadata,
     attn_impl: AttnImpl,
     w8a8: bool = False,
+    gather_last: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (logits [B, V] f32, kv_pool)."""
+    """Returns (logits [B, V] f32, kv_pool). With ``gather_last=False`` the
+    LM head runs on EVERY query token (logits [T, V]) — the teacher-forced
+    scoring mode of the quality/perplexity harness (quality/nll.py)."""
     tp = dims.tp
     pages_per_layer = kv_pool.shape[0] // cfg.num_layers
     hd = dims.head_dim
@@ -440,8 +458,11 @@ def decoder_forward(
 
     hidden = rmsnorm(x + residual, params["final_norm"], eps)
     # prefill: only each request's last token produces a next-token logit
-    # (reference embedding.py:87-110)
-    hidden_last = jnp.take(hidden, meta.last_q_index, axis=0)  # [B, H]
+    # (reference embedding.py:87-110); scoring mode keeps every position
+    if gather_last:
+        hidden_last = jnp.take(hidden, meta.last_q_index, axis=0)  # [B, H]
+    else:
+        hidden_last = hidden  # [T, H]
 
     if cfg.tie_word_embeddings:
         lm_w = params["embed"].T  # [H, V/tp] — same local layout either way

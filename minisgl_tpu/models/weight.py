@@ -25,6 +25,7 @@ from minisgl_tpu.layers.params import (
     HFSource,
     ParamInfo,
     ParamsSpec,
+    quantize_int4,
     quantize_int8,
 )
 from minisgl_tpu.parallel.mesh import MeshInfo
@@ -98,8 +99,13 @@ def load_params(
             arr = info.init()
         else:
             arr = assemble_param(idx, info)
-        if info.quant == "int8":
-            q, scale = quantize_int8(np.asarray(arr, np.float32))
+        if info.quant in ("int8", "int4"):
+            if info.quant == "int8":
+                q, scale = quantize_int8(np.asarray(arr, np.float32))
+            else:
+                q, scale = quantize_int4(
+                    np.asarray(arr, np.float32), info.quant_group
+                )
             params[path] = jax.device_put(
                 jnp.asarray(q), mesh_info.sharding(info.spec)
             )
@@ -126,13 +132,15 @@ def init_dummy_params(
     for path, info in spec.items():
         if info.init is not None:
             arr = jnp.asarray(info.init(), dtype=info.dtype)
-        elif info.quant == "int8":
+        elif info.quant in ("int8", "int4"):
             arr = jnp.asarray(
-                rng.integers(-127, 128, info.shape, dtype=np.int64),
+                rng.integers(-127, 128, info.stored_shape, dtype=np.int64),
                 dtype=jnp.int8,
             )
         elif info.scale_of is not None:
-            arr = jnp.full(info.shape, 0.02 / 127.0, dtype=info.dtype)
+            # int8: amax/127; int4 grouped: amax/7 — same 0.02 amax stand-in
+            denom = 7.0 if spec[info.scale_of].quant == "int4" else 127.0
+            arr = jnp.full(info.shape, 0.02 / denom, dtype=info.dtype)
         else:
             # small-scale normal init keeps logits finite through deep stacks
             arr = jnp.asarray(

@@ -6,11 +6,15 @@ kernel/csrc/jit/store.cu:28-53). Layout decisions:
 
 - ONE combined pool of GLOBAL shape ``[L * P, page_size, 2 * kv_heads_eff,
   head_dim]`` where ``P`` is the per-layer page count (page 0 of each layer
-  is the reserved dummy page) and K/V interleave on the heads axis (K at
-  ``0::2``, V at ``1::2``). Rationale:
+  is the reserved dummy page) and K/V occupy BLOCKS on the heads axis (K at
+  ``[:kvh]``, V at ``[kvh:]``). Rationale:
   * a page row ``[page_size, 2*kvh, hd]`` is one contiguous DMA fetching
     every head's K AND V for that page — the granularity TPU paged-attention
     kernels want;
+  * the block (not interleaved) head order lets the decode kernel DMA the K
+    and V planes of a page into SEPARATE VMEM buffers (strided source,
+    contiguous 2KB runs), halving its flattened softmax width — the
+    deciding factor in the decode-ablation A/B (BENCHLOG.md round 2);
   * folding the layer into the page index means the per-layer "slice" is
     just an integer offset ``layer_id * P`` added to the page table, so the
     lax.scan over layers never slices (= never copies) the pool.
@@ -30,10 +34,9 @@ import jax
 import jax.numpy as jnp
 
 
-def interleave_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
-    """[T, kvh, hd] x2 -> [T, 2*kvh, hd] with K at 0::2, V at 1::2."""
-    T, kvh, hd = k_new.shape
-    return jnp.stack([k_new, v_new], axis=2).reshape(T, 2 * kvh, hd)
+def pack_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
+    """[T, kvh, hd] x2 -> [T, 2*kvh, hd] with K at [:kvh], V at [kvh:]."""
+    return jnp.concatenate([k_new, v_new], axis=1)
 
 
 def store_kv(
@@ -47,7 +50,7 @@ def store_kv(
     page_size = kv_pool.shape[1]
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
-    kv_new = interleave_kv(k_new, v_new).astype(kv_pool.dtype)
+    kv_new = pack_kv(k_new, v_new).astype(kv_pool.dtype)
     T = kv_new.shape[0]
     if jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes

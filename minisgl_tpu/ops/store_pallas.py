@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _store_kernel(
     rows_ref,  # [T] i32 scalar prefetch: pool row (page) per token
     offs_ref,  # [T] i32 scalar prefetch: in-page offset per token
-    kv_new_ref,  # VMEM [1, 2*kvh, hd] this token's interleaved K/V
+    kv_new_ref,  # VMEM [1, 2*kvh, hd] this token's packed K/V row
     pool_in_ref,  # ANY [N, ps, 2*kvh, hd] (aliased)
     pool_out_ref,  # ANY [N, ps, 2*kvh, hd] (= pool_in)
     sem,  # DMA semaphore

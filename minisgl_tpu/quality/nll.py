@@ -1,0 +1,152 @@
+"""Teacher-forced NLL / perplexity harness — the quantization quality gate.
+
+BASELINE.md's north star demands "<= 0.1 ppl vs BF16" for the quantized
+configurations; the reference has no quality harness at all (SURVEY.md §4
+called this out as a gap to close). This module scores fixed token sequences
+through the REAL paged pipeline — the same decoder forward, paged KV writes,
+and attention backend the engine serves with (models/common.py
+decoder_forward in ``gather_last=False`` scoring mode) — so quantization
+error introduced anywhere in that path (int8/int4 matmuls, fp8 KV
+round-trips) lands in the measured NLL.
+
+Usage: compare ``score_nll(..., quantization="int8")`` against the bf16
+baseline on the same sequences; the delta is the quantization quality loss.
+With random ("dummy") weights the absolute perplexity is meaningless but the
+DELTA still measures quantization noise, which is what the gate bounds —
+real checkpoints simply reuse the same entry point.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minisgl_tpu.attention import create_attention_backend
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.models.base import create_model
+from minisgl_tpu.models.config import ModelConfig
+from minisgl_tpu.models.weight import init_dummy_params, load_params
+from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo, create_mesh
+from minisgl_tpu.utils import cached_load_hf_config, div_ceil
+
+
+def _score_one(
+    model,
+    params,
+    mesh: MeshInfo,
+    attn,
+    kv_dtype,
+    page_size: int,
+    q_align: int,
+    ids: np.ndarray,
+) -> float:
+    """Sum NLL (nats) of ids[1:] given the preceding context."""
+    T = len(ids)
+    Tp = div_ceil(T, q_align) * q_align  # pallas prefill block alignment
+    pages_cap = div_ceil(Tp, page_size)
+    L = model.cfg.num_layers
+    kvh = model.dims.kv_heads_eff
+    hd = model.cfg.head_dim
+    kv = jax.device_put(
+        jnp.zeros(((pages_cap + 1) * L, page_size, 2 * kvh, hd), kv_dtype),
+        mesh.sharding(jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None)),
+    )
+    slot0 = page_size  # page 0 is the dummy page
+    out_slots = np.zeros((Tp,), np.int32)  # padding rows write the dummy page
+    out_slots[:T] = slot0 + np.arange(T, dtype=np.int32)
+    positions = np.zeros((Tp,), np.int32)
+    positions[:T] = np.arange(T, dtype=np.int32)
+    q_req_ids = np.full((Tp,), -1, np.int32)  # padding rows mask to nothing
+    q_req_ids[:T] = 0
+    ids_pad = np.zeros((Tp,), np.int32)
+    ids_pad[:T] = ids
+    meta = AttnMetadata(
+        out_slots=jnp.asarray(out_slots),
+        positions=jnp.asarray(positions),
+        page_table=jnp.asarray(
+            np.arange(1, pages_cap + 1, dtype=np.int32)[None, :]
+        ),
+        seq_lens=jnp.asarray(np.array([T], np.int32)),
+        q_req_ids=jnp.asarray(q_req_ids),
+        last_q_index=jnp.asarray(np.array([T - 1], np.int32)),
+        cu_q_lens=jnp.asarray(np.array([0, Tp], np.int32)),
+        num_seqs=jnp.asarray(np.array([1], np.int32)),
+    )
+
+    param_specs = {k: v.spec for k, v in model.params_spec.items()}
+
+    def fwd(params, kv, input_ids):
+        logits, _ = model.forward(
+            params, input_ids, kv, meta, attn, gather_last=False
+        )
+        logp = jax.nn.log_softmax(logits[: T - 1].astype(jnp.float32), axis=-1)
+        tgt = jnp.take_along_axis(
+            logp, input_ids[1:T, None].astype(jnp.int32), axis=1
+        )
+        return -jnp.sum(tgt)
+
+    sharded = jax.shard_map(
+        fwd,
+        mesh=mesh.mesh,
+        in_specs=(
+            param_specs,
+            jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None),
+            jax.sharding.PartitionSpec(),
+        ),
+        out_specs=jax.sharding.PartitionSpec(),
+        check_vma=False,
+    )
+    nll = jax.jit(sharded)(params, kv, jnp.asarray(ids_pad, jnp.int32))
+    return float(np.asarray(nll))
+
+
+def score_nll(
+    model_dir: str,
+    seqs: Sequence[Sequence[int]],
+    *,
+    tp_size: int = 1,
+    quantization: str = "none",
+    kv_dtype: str = "auto",
+    backend: str = "auto",
+    page_size: int = 16,
+    use_dummy_weight: bool = False,
+    mesh: MeshInfo | None = None,
+) -> Dict[str, float]:
+    """Teacher-forced scoring of ``seqs``; returns nll_sum / tokens / ppl."""
+    cfg = ModelConfig.from_hf(cached_load_hf_config(model_dir))
+    model = create_model(cfg, tp_size, quant=quantization)
+    mesh = mesh or create_mesh(tp_size=tp_size)
+    if use_dummy_weight:
+        params = init_dummy_params(model.params_spec, mesh)
+    else:
+        params = load_params(model_dir, model.params_spec, mesh)
+    kv_dt = {
+        "auto": jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "fp8": jnp.float8_e4m3fn,
+        "float32": jnp.float32,
+    }[kv_dtype]
+    attn = create_attention_backend(
+        backend, page_size=page_size, head_dim=cfg.head_dim, phase="prefill"
+    )
+    from minisgl_tpu.attention import resolve_backend_name
+    from minisgl_tpu.attention.pallas_backend import QUERY_ALIGN
+
+    q_align = QUERY_ALIGN.get(resolve_backend_name(backend), 1)
+    nll_sum = 0.0
+    n_tok = 0
+    for ids in seqs:
+        ids = np.asarray(ids, np.int32)
+        nll_sum += _score_one(
+            model, params, mesh, attn, kv_dt, page_size, q_align, ids
+        )
+        n_tok += len(ids) - 1
+    return {
+        "nll_sum": nll_sum,
+        "tokens": n_tok,
+        "nll_per_token": nll_sum / max(1, n_tok),
+        "ppl": float(np.exp(nll_sum / max(1, n_tok))),
+    }

@@ -53,7 +53,11 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
         default="auto",
     )
     p.add_argument("--page-size", type=int, default=16)
-    p.add_argument("--quantization", choices=["none", "int8", "w8a8"], default="none")
+    p.add_argument(
+        "--quantization",
+        choices=["none", "int8", "w8a8", "int4"],
+        default="none",
+    )
     p.add_argument("--decode-steps", type=int, default=1)
     p.add_argument("--kv-dtype", dest="kv_dtype",
                    choices=["auto", "bf16", "fp8"], default="auto")
