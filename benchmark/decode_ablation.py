@@ -84,7 +84,7 @@ def time_variant(engine, name: str, k: int) -> float:
     attn = engine._attn["decode"]
     model = engine.model
     if name == "nostore":
-        common.store_kv = lambda pool, lid, ppl, slots, k_, v_: pool
+        common.store_kv = lambda kv, lid, ppl, slots, k_, v_: kv
     elif name == "noattn":
         attn = lambda q, pool, meta: q
     elif name == "rpa":

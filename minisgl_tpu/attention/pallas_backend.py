@@ -46,21 +46,24 @@ def _attn_kernel(
     kv_lens_ref,  # [B] i32
     num_seqs_ref,  # [1] i32
     pt_ref,  # [B, PB] i32 page tables (scalar prefetch, SMEM)
-    # inputs
-    q_ref,  # VMEM [BQ, Hq, hd]
-    pos_ref,  # VMEM [1, BQ, 1] i32 positions
-    qrid_ref,  # VMEM [1, BQ, 1] i32 owning-row ids
-    kv_hbm,  # ANY  [N, ps, 2*kvh, hd]
-    # outputs
-    o_ref,  # VMEM [BQ, Hq, hd]
-    # scratch
-    kv_buf,  # VMEM [2, CP, ps, 2*kvh, hd]
-    sems,  # DMA [2, CP]
-    *,
+    # then positionally: q_ref [BQ, Hq, hd], pos_ref [1, BQ, 1],
+    # qrid_ref [1, BQ, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
+    # (sc_hbm ANY [N, 2, ps, kvh] — int8 pools only),
+    # output o_ref [BQ, Hq, hd],
+    # scratch kv_buf [2, CP, ps, 2*kvh, hd], sems [2, CP],
+    # (sc_buf [2, CP, 2, ps, kvh], sc_sems [2, CP] — int8 pools only)
+    *refs,
     scale: float,
     block_q: int,
     pages_per_chunk: int,
+    has_scale: bool = False,
 ):
+    if has_scale:
+        (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
+         o_ref, kv_buf, sems, sc_buf, sc_sems) = refs
+    else:
+        q_ref, pos_ref, qrid_ref, kv_hbm, o_ref, kv_buf, sems = refs
+        sc_hbm = sc_buf = sc_sems = None
     b = pl.program_id(0)
     iq = pl.program_id(1)
     BQ = block_q
@@ -89,12 +92,20 @@ def _attn_kernel(
                 pltpu.make_async_copy(
                     kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
                 ).start()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).start()
 
         def wait_dma(slot):
             for j in range(CP):
                 pltpu.make_async_copy(
                     kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
                 ).wait()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).wait()
 
         start_dma(0, 0)
 
@@ -133,9 +144,14 @@ def _attn_kernel(
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
-                # cast up from the pool dtype (bf16 or fp8 KV) for the MXU
+                # cast up from the pool dtype (bf16/fp8/int8 KV) for the MXU
                 k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
                 v = kv[:, kvh + h, :].astype(q_ref.dtype)
+                if has_scale:
+                    # int8 pool: per-(token, head) scales hit the SCORES
+                    # (and probabilities), not the [Tc, hd] data
+                    sk_h = sc_buf[slot][:, 0, :, h].reshape(1, Tc)
+                    sv_h = sc_buf[slot][:, 1, :, h].reshape(1, Tc)
                 groups = [h] if BQ == 1 else range(h * G, (h + 1) * G)
                 for j in groups:
                     s = jax.lax.dot_general(
@@ -144,6 +160,8 @@ def _attn_kernel(
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [rows, Tc] (rows = G for decode, BQ for prefill)
+                    if has_scale:
+                        s = s * sk_h
                     s = jnp.where(mask, s, _NEG_INF)
                     m_new = jnp.maximum(
                         ms[j], jnp.max(s, axis=1, keepdims=True)
@@ -151,6 +169,8 @@ def _attn_kernel(
                     p = jnp.exp(s - m_new)
                     alpha = jnp.exp(ms[j] - m_new)
                     l_new = ls[j] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    if has_scale:
+                        p = p * sv_h
                     pv = jax.lax.dot_general(
                         p.astype(v.dtype),
                         v,
@@ -189,23 +209,26 @@ def _decode_kernel(
     kv_lens_ref,  # [B] i32
     num_seqs_ref,  # [1] i32
     pt_ref,  # [B, PB] i32 page tables (SMEM)
-    # inputs
-    q_ref,  # VMEM [1, Hq, hd]
-    pos_ref,  # VMEM [1, 1, 1] i32
-    qrid_ref,  # VMEM [1, 1, 1] i32
-    kv_hbm,  # ANY  [N, ps, 2*kvh, hd]
-    # outputs
-    o_ref,  # VMEM [1, Hq, hd]
-    # scratch
-    k_buf,  # VMEM [2, CP, ps, kvh, hd]
-    v_buf,  # VMEM [2, CP, ps, kvh, hd]
-    sems,  # DMA [2, CP, 2]
-    par_ref,  # SMEM [1] i32: buffer parity carried across grid programs
-    *,
+    # then positionally: q_ref [1, Hq, hd], pos_ref [1, 1, 1],
+    # qrid_ref [1, 1, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
+    # (sc_hbm ANY [N, 2, ps, kvh] — int8 pools only),
+    # output o_ref [1, Hq, hd],
+    # scratch k_buf [2, CP, ps, kvh, hd], v_buf same, sems [2, CP, 2],
+    # par_ref SMEM [1] i32 (buffer parity carried across grid programs),
+    # (sc_buf [2, CP, 2, ps, kvh], sc_sems [2, CP] — int8 pools only)
+    *refs,
     scale: float,
     pages_per_chunk: int,
     diag: str = "",
+    has_scale: bool = False,
 ):
+    if has_scale:
+        (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
+         o_ref, k_buf, v_buf, sems, par_ref, sc_buf, sc_sems) = refs
+    else:
+        (q_ref, pos_ref, qrid_ref, kv_hbm,
+         o_ref, k_buf, v_buf, sems, par_ref) = refs
+        sc_hbm = sc_buf = sc_sems = None
     """Decode (q_len=1) specialization: ALL kv heads in two matmuls/chunk.
 
     The per-head formulation (_attn_kernel) issues ~8 tiny VPU/MXU ops per
@@ -251,6 +274,10 @@ def _decode_kernel(
                     v_buf.at[slot, j],
                     sems.at[slot, j, 1],
                 ).start()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).start()
 
         def wait_dma(slot):
             for j in range(CP):
@@ -264,6 +291,10 @@ def _decode_kernel(
                     v_buf.at[slot, j],
                     sems.at[slot, j, 1],
                 ).wait()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).wait()
 
         # Cross-sequence prefetch: program b-1 already issued THIS program's
         # chunk 0 into slot par_ref[0] (and set the parity), hiding the DMA
@@ -311,6 +342,8 @@ def _decode_kernel(
             wait_dma(slot)
             k_all = k_buf[slot].reshape(W, hd)  # contiguous: free
             v_all = v_buf[slot].reshape(W, hd)
+            if k_all.dtype != q_ref.dtype:  # int8/fp8 pool: native upcast
+                k_all = k_all.astype(q_ref.dtype)
 
             if diag == "dmaonly":  # diagnostic: DMA + loop floor, no attn
                 touch = (
@@ -323,6 +356,10 @@ def _decode_kernel(
                 q_all, k_all, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Hq, W]
+            if has_scale:
+                # int8 pool: per-(token, head) dequant lands on the [Hq, W]
+                # scores/probs — hd x less work than scaling the KV data
+                s = s * sc_buf[slot][:, 0].reshape(1, W)
             s = s + amask_head
             # only the FINAL chunk can contain out-of-range tokens
             # (t >= bound = min(pos+1, kv_len)); interior chunks skip the
@@ -337,8 +374,11 @@ def _decode_kernel(
             p = jnp.exp(s - m_new)  # zero off own-head columns
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if has_scale:
+                p = p * sc_buf[slot][:, 1].reshape(1, W)
             pv = jax.lax.dot_general(
-                p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+                p.astype(q_ref.dtype), v_all.astype(q_ref.dtype),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Hq, hd]: zero weights off-head make this exact
             return m_new, l_new, acc * alpha + pv
@@ -355,7 +395,7 @@ def _decode_kernel(
 
 def pallas_ragged_paged_attention(
     q: jax.Array,  # [T, Hq, hd]
-    kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
+    kv,  # ops.kv.KV: pool [N, ps, 2*kvh, hd] (+ int8 scale sidecar)
     meta: AttnMetadata,
     *,
     scale: float,
@@ -363,6 +403,8 @@ def pallas_ragged_paged_attention(
     pages_per_chunk: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
+    kv_pool, kv_scale = kv
+    has_scale = kv_scale is not None
     T, Hq, hd = q.shape
     N, ps, kvh2, _ = kv_pool.shape
     B, PB = meta.page_table.shape
@@ -399,7 +441,8 @@ def pallas_ragged_paged_attention(
                     _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        ]
+        + ([pl.BlockSpec(memory_space=pltpu.ANY)] if has_scale else []),
         out_specs=pl.BlockSpec(
             (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
                 _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
@@ -416,6 +459,14 @@ def pallas_ragged_paged_attention(
                 pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
                 pltpu.SemaphoreType.DMA((2, CP)),
             ]
+        )
+        + (
+            [  # int8 pool: per-page scale rows ride their own DMA queue
+                pltpu.VMEM((2, CP, 2, ps, kvh2 // 2), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, CP)),
+            ]
+            if has_scale
+            else []
         ),
     )
 
@@ -437,10 +488,15 @@ def pallas_ragged_paged_attention(
             scale=scale,
             pages_per_chunk=CP,
             diag=os.environ.get("MSLT_DECODE_DIAG", ""),
+            has_scale=has_scale,
         )
     else:
         kernel = functools.partial(
-            _attn_kernel, scale=scale, block_q=BQ, pages_per_chunk=CP
+            _attn_kernel,
+            scale=scale,
+            block_q=BQ,
+            pages_per_chunk=CP,
+            has_scale=has_scale,
         )
     out = pl.pallas_call(
         kernel,
@@ -459,6 +515,7 @@ def pallas_ragged_paged_attention(
         pos_in,
         qrid_in,
         kv_pool,
+        *([kv_scale] if has_scale else []),
     )
     return out[:T]
 
@@ -474,9 +531,9 @@ def make_pallas_attention(*, page_size: int, scale: float, phase: str):
     block_q = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
     cp = ENV.PAGES_PER_CHUNK
 
-    def impl(q, kv_pool, meta: AttnMetadata):
+    def impl(q, kv, meta: AttnMetadata):
         return pallas_ragged_paged_attention(
-            q, kv_pool, meta, scale=scale, block_q=block_q, pages_per_chunk=cp
+            q, kv, meta, scale=scale, block_q=block_q, pages_per_chunk=cp
         )
 
     return impl

@@ -19,7 +19,7 @@ from minisgl_tpu.attention.metadata import AttnMetadata
 
 def rpa_attention(
     q: jax.Array,  # [T, Hq_local, hd]
-    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd] K/V head-block
+    kv,  # ops.kv.KV: pool [L*P, page_size, 2*kvh_local, hd] K/V head-block
     meta: AttnMetadata,
     scale: float,
 ) -> jax.Array:
@@ -32,6 +32,15 @@ def rpa_attention(
     # This transposes the WHOLE pool per call — rpa is an A/B and parity
     # backend only (it VMEM-OOMs at bs>=128 decode and crashes on prefill
     # shapes, BENCHLOG.md), so clarity beats cost here.
+    kv_pool, kv_scale = kv
+    if kv_scale is not None:
+        # parity-only backend: dequantize the whole int8 pool up front
+        import jax.numpy as jnp
+
+        sc = kv_scale.transpose(0, 2, 1, 3).reshape(*kv_pool.shape[:2], -1)
+        kv_pool = kv_pool.astype(jnp.bfloat16) * sc[..., None].astype(
+            jnp.bfloat16
+        )
     N, ps, kvh2, hd = kv_pool.shape
     kvh = kvh2 // 2
     interleaved = (

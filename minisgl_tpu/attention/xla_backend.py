@@ -25,11 +25,12 @@ _NEG_INF = -1e30
 
 def xla_paged_attention(
     q: jax.Array,  # [T, Hq, hd]
-    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh, hd]
+    kv,  # ops.kv.KV: pool [L*P, page_size, 2*kvh, hd] (+ int8 scales)
     meta: AttnMetadata,  # page_table pre-offset to this layer's page space
     page_size: int,
     scale: float,
 ) -> jax.Array:
+    kv_pool, kv_scale = kv
     T, Hq, hd = q.shape
     kvh = kv_pool.shape[2] // 2
     B, pages_cap = meta.page_table.shape
@@ -39,6 +40,13 @@ def xla_paged_attention(
     pages = kv_pool[meta.page_table]  # [B, PB, ps, 2kvh, hd]
     k = pages[:, :, :, :kvh, :].reshape(B, S_max, kvh, hd)
     v = pages[:, :, :, kvh:, :].reshape(B, S_max, kvh, hd)
+    if kv_scale is not None:
+        # int8 pool: dequantize with the per-(token, head) scale sidecar
+        sc = kv_scale[meta.page_table]  # [B, PB, 2, ps, kvh]
+        sk = sc[:, :, 0].reshape(B, S_max, kvh)
+        sv = sc[:, :, 1].reshape(B, S_max, kvh)
+        k = k.astype(jnp.float32) * sk[..., None]
+        v = v.astype(jnp.float32) * sv[..., None]
 
     # Per-token gather of its row's KV: [T, S_max, kvh, hd]
     k_t = k[meta.q_req_ids]

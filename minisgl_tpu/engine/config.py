@@ -41,7 +41,9 @@ class EngineConfig:
     # "int4" (2 nibbles/byte packed on the contraction axis, grouped scales)
     quantization: str = "none"
     # KV pool storage dtype: "auto" (= model dtype) | "bf16" | "fp8"
-    # (float8_e4m3, dequant fused into attention)
+    # (float8_e4m3, scale-less — emulated casts make it slow on v5e) |
+    # "int8" (per-(token, head) scales fused into the kernels' score path —
+    # the v5e-native low-precision KV mode)
     kv_dtype: str = "auto"
     # prefill token-count buckets are powers of two up to max_extend_tokens
     min_prefill_bucket: int = 128

@@ -64,7 +64,12 @@ class Engine:
             "float32": jnp.float32,
             "bf16": jnp.bfloat16,
             "fp8": jnp.float8_e4m3fn,
+            # v5e-native low-precision KV: int8 data + per-(token, head)
+            # f32 scales applied to the scores inside the kernel (ops/kv.py
+            # quantize_kv_rows rationale)
+            "int8": jnp.int8,
         }[config.resolved_kv_dtype]
+        self.kv_scaled = config.resolved_kv_dtype == "int8"
 
         if config.use_dummy_weight:
             self.params = init_dummy_params(self.model.params_spec, self.mesh_info)
@@ -112,13 +117,17 @@ class Engine:
         cfg = self.config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         kvh_local = self.model.dims.kv_heads_local
-        return (
+        per_value = itemsize + (
+            # int8 pools carry a 4-byte scale per (token, head) row
+            4 / self.model_config.head_dim if self.kv_scaled else 0
+        )
+        return int(
             2  # K and V
             * self.model_config.num_layers
             * kvh_local
             * cfg.page_size
             * self.model_config.head_dim
-            * itemsize
+            * per_value
         )
 
     def _determine_num_pages(self) -> int:
@@ -175,6 +184,9 @@ class Engine:
         P_layer = self.num_pages + 1  # +1 dummy page 0 per layer
         kv_sharding = self.mesh_info.sharding(KV_SPEC)
 
+        from minisgl_tpu.engine.step import KV_SCALE_SPEC
+        from minisgl_tpu.ops.kv import KV
+
         # allocate directly on-device in shards (no host-side global buffer)
         make_pool = jax.jit(
             lambda: jnp.zeros(
@@ -182,8 +194,18 @@ class Engine:
             ),
             out_shardings=kv_sharding,
         )
+        if self.kv_scaled:
+            make_scale = jax.jit(
+                lambda: jnp.full(
+                    (L * P_layer, 2, cfg.page_size, kvh), 1e-8, jnp.float32
+                ),
+                out_shardings=self.mesh_info.sharding(KV_SCALE_SPEC),
+            )
+            kv_state = KV(data=make_pool(), scale=make_scale())
+        else:
+            kv_state = KV(data=make_pool(), scale=None)
         return DeviceState(
-            kv=make_pool(),
+            kv=kv_state,
             token_slots=jax.device_put(
                 jnp.zeros((cfg.max_running_req + 1,), jnp.int32),
                 self.mesh_info.replicated,
@@ -205,6 +227,7 @@ class Engine:
                 greedy,
                 packed_dims=dims,
                 decode_steps=decode_steps,
+                kv_has_scale=self.kv_scaled,
             )
         return self._step_fns[key]
 

@@ -29,15 +29,18 @@ from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
 
 
 class DeviceState(NamedTuple):
-    # [L*P, page_size, 2*kvh_eff(global), hd], K/V head-blocks on the heads
-    # axis which is sharded over the TP mesh axis (ops/kv.py layout)
-    kv: jax.Array
+    # ops.kv.KV: pool [L*P, page_size, 2*kvh_eff(global), hd] (K/V
+    # head-blocks, heads sharded over the TP mesh axis) + optional int8
+    # scale sidecar [L*P, 2, page_size, kvh_eff]
+    kv: object
     token_slots: jax.Array  # [max_running_req + 1] int32, replicated
     rng: jax.Array  # PRNGKey, replicated
 
 
 KV_SPEC = P(None, None, MODEL_AXIS, None)
-STATE_SPECS = DeviceState(kv=KV_SPEC, token_slots=P(), rng=P())
+KV_SCALE_SPEC = P(None, None, None, MODEL_AXIS)
+
+
 
 
 def build_step_fn(
@@ -49,6 +52,7 @@ def build_step_fn(
     return_logits: bool = False,
     packed_dims: Tuple[int, int, int] | None = None,
     decode_steps: int = 1,
+    kv_has_scale: bool = False,
 ):
     """Returns jitted (params, state, meta) -> (state, tokens[, logits]).
 
@@ -94,7 +98,7 @@ def build_step_fn(
                 return new_state, tokens, logits
             return new_state, tokens
 
-        ps = state.kv.shape[1]
+        ps = state.kv.data.shape[1]
         K, B = decode_steps, meta.attn.seq_lens.shape[0]
 
         def body(i, carry):
@@ -128,11 +132,18 @@ def build_step_fn(
         )
         return state, toks
 
-    out_specs = (STATE_SPECS, P(), P()) if return_logits else (STATE_SPECS, P())
+    from minisgl_tpu.ops.kv import KV
+
+    sspecs = DeviceState(
+        kv=KV(data=KV_SPEC, scale=KV_SCALE_SPEC if kv_has_scale else None),
+        token_slots=P(),
+        rng=P(),
+    )
+    out_specs = (sspecs, P(), P()) if return_logits else (sspecs, P())
     sharded = jax.shard_map(
         _impl,
         mesh=mesh_info.mesh,
-        in_specs=(param_specs, STATE_SPECS, P()),
+        in_specs=(param_specs, sspecs, P()),
         out_specs=out_specs,
         check_vma=False,
     )

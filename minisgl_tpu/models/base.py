@@ -40,7 +40,7 @@ class Model:
         self,
         params,
         input_ids: jax.Array,
-        kv_pool: jax.Array,
+        kv_pool,  # ops.kv.KV pytree
         meta: AttnMetadata,
         attn_impl: AttnImpl,
         gather_last: bool = True,

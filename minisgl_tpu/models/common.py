@@ -42,7 +42,7 @@ from minisgl_tpu.layers.params import (
 from minisgl_tpu.models.config import ModelConfig
 from minisgl_tpu.moe import create_moe_backend
 from minisgl_tpu.ops.activation import ACT2FN
-from minisgl_tpu.ops.kv import store_kv
+from minisgl_tpu.ops.kv import KV, store_kv
 from minisgl_tpu.ops.normalization import fused_add_rmsnorm, rmsnorm
 from minisgl_tpu.ops.rope import apply_rope, compute_rope_cache
 from minisgl_tpu.parallel.mesh import MODEL_AXIS
@@ -364,7 +364,7 @@ def decoder_forward(
     dims: ModelDims,
     extras: ModelExtras,
     input_ids: jax.Array,  # [T]
-    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh_local, hd] combined pool
+    kv_pool: KV,  # combined pool (+ int8 scale sidecar), ops/kv.py
     meta: AttnMetadata,
     attn_impl: AttnImpl,
     w8a8: bool = False,
@@ -374,7 +374,7 @@ def decoder_forward(
     LM head runs on EVERY query token (logits [T, V]) — the teacher-forced
     scoring mode of the quality/perplexity harness (quality/nll.py)."""
     tp = dims.tp
-    pages_per_layer = kv_pool.shape[0] // cfg.num_layers
+    pages_per_layer = kv_pool.data.shape[0] // cfg.num_layers
     hd = dims.head_dim
     nql, nkl = dims.q_heads_local, dims.kv_heads_local
     eps = cfg.rms_norm_eps

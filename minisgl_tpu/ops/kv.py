@@ -30,8 +30,20 @@ jitted step XLA performs it in place — no pool copy.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
+
+
+class KV(NamedTuple):
+    """The paged KV pool as one pytree: data + (for int8 pools) the
+    per-(token, head) scale sidecar. ``scale`` is None for bf16/f32/fp8
+    pools, so the pytree structure itself encodes the storage mode and
+    every jitted step specializes on it."""
+
+    data: jax.Array  # [L*P, page_size, 2*kvh, hd]
+    scale: Optional[jax.Array] = None  # [L*P, 2, page_size, kvh] f32
 
 
 def pack_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
@@ -39,25 +51,70 @@ def pack_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
     return jnp.concatenate([k_new, v_new], axis=1)
 
 
+def quantize_kv_rows(
+    kv_new: jax.Array,  # [T, 2*kvh, hd] f32/bf16
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8: scale = amax(|row|)/127 over hd.
+
+    The v5e formulation of low-precision KV: the chip has no native fp8, so
+    e4m3 casts are emulated bit surgery in the kernel hot loop (measured as a
+    net regression, BENCHLOG round 1); int8<->bf16 converts are native, and
+    the per-row scales apply to the [Hq, W] SCORES inside the attention
+    kernel — hd=128x less scaling work than dequanting the KV data itself.
+    """
+    amax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1)  # [T, 2kvh]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(kv_new.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def store_kv(
-    kv_pool: jax.Array,  # [L*P, page_size, 2*kvh, hd]
+    kv: KV,  # combined pool (+ scale sidecar for int8 pools)
     layer_id: jax.Array | int,
     pages_per_layer: int,
     out_slots: jax.Array,  # [T] token slots within the layer's page space
     k_new: jax.Array,  # [T, kvh, hd]
     v_new: jax.Array,
-) -> jax.Array:
+) -> KV:
+    """Scatter new KV rows (and, for int8 pools, their scales) in place.
+
+    The scale layout [row, plane(K/V), page_off, head] matches the flattened
+    (token, head) column order of the decode kernel's score matrix so the
+    per-chunk scale fetch is one contiguous 1KB DMA per page.
+    """
+    kv_pool, kv_scale = kv
     page_size = kv_pool.shape[1]
+    kvh = kv_pool.shape[2] // 2
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
-    kv_new = pack_kv(k_new, v_new).astype(kv_pool.dtype)
+    kv_new = pack_kv(k_new, v_new)
+    if kv_scale is not None:
+        assert kv_pool.dtype == jnp.int8
+        kv_new, scale = quantize_kv_rows(kv_new)  # [T, 2kvh] scale
+        # [T, 2kvh] -> [T, 2, kvh] planes matching the pack order
+        scale = scale.reshape(-1, 2, kvh)
+    else:
+        kv_new = kv_new.astype(kv_pool.dtype)
     T = kv_new.shape[0]
     if jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
         # (the Pallas store is one serial DMA per token). On TPU decode the
         # scatter's cost scales with the pool, not the written rows
         # (BENCHLOG.md decomposition), so small-T steps take the Pallas path.
-        return kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+        new_pool = kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+        if kv_scale is None:
+            return KV(new_pool, None)
+        return KV(
+            new_pool,
+            kv_scale.at[rows, :, offs].set(scale, mode="promise_in_bounds"),
+        )
     from minisgl_tpu.ops.store_pallas import pallas_store_kv
 
-    return pallas_store_kv(kv_pool, rows, offs, kv_new)
+    if kv_scale is None:
+        return KV(pallas_store_kv(kv_pool, rows, offs, kv_new), None)
+    new_pool, new_scale = pallas_store_kv(
+        kv_pool, rows, offs, kv_new, kv_scale=kv_scale, scale_new=scale
+    )
+    return KV(new_pool, new_scale)

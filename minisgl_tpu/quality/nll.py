@@ -29,6 +29,7 @@ from minisgl_tpu.attention.metadata import AttnMetadata
 from minisgl_tpu.models.base import create_model
 from minisgl_tpu.models.config import ModelConfig
 from minisgl_tpu.models.weight import init_dummy_params, load_params
+from minisgl_tpu.ops.kv import KV
 from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo, create_mesh
 from minisgl_tpu.utils import cached_load_hf_config, div_ceil
 
@@ -50,9 +51,24 @@ def _score_one(
     L = model.cfg.num_layers
     kvh = model.dims.kv_heads_eff
     hd = model.cfg.head_dim
-    kv = jax.device_put(
-        jnp.zeros(((pages_cap + 1) * L, page_size, 2 * kvh, hd), kv_dtype),
-        mesh.sharding(jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None)),
+    n_rows = (pages_cap + 1) * L
+    kv = KV(
+        data=jax.device_put(
+            jnp.zeros((n_rows, page_size, 2 * kvh, hd), kv_dtype),
+            mesh.sharding(
+                jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None)
+            ),
+        ),
+        scale=(
+            jax.device_put(
+                jnp.full((n_rows, 2, page_size, kvh), 1e-8, jnp.float32),
+                mesh.sharding(
+                    jax.sharding.PartitionSpec(None, None, None, MODEL_AXIS)
+                ),
+            )
+            if kv_dtype == jnp.int8
+            else None
+        ),
     )
     slot0 = page_size  # page 0 is the dummy page
     out_slots = np.zeros((Tp,), np.int32)  # padding rows write the dummy page
@@ -78,6 +94,15 @@ def _score_one(
 
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
 
+    kv_specs = KV(
+        data=jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None),
+        scale=(
+            None
+            if kv.scale is None
+            else jax.sharding.PartitionSpec(None, None, None, MODEL_AXIS)
+        ),
+    )
+
     def fwd(params, kv, input_ids):
         logits, _ = model.forward(
             params, input_ids, kv, meta, attn, gather_last=False
@@ -93,7 +118,7 @@ def _score_one(
         mesh=mesh.mesh,
         in_specs=(
             param_specs,
-            jax.sharding.PartitionSpec(None, None, MODEL_AXIS, None),
+            kv_specs,
             jax.sharding.PartitionSpec(),
         ),
         out_specs=jax.sharding.PartitionSpec(),
@@ -127,6 +152,7 @@ def score_nll(
         "auto": jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
         "bf16": jnp.bfloat16,
         "fp8": jnp.float8_e4m3fn,
+        "int8": jnp.int8,
         "float32": jnp.float32,
     }[kv_dtype]
     attn = create_attention_backend(

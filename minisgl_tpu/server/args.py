@@ -60,7 +60,7 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     )
     p.add_argument("--decode-steps", type=int, default=1)
     p.add_argument("--kv-dtype", dest="kv_dtype",
-                   choices=["auto", "bf16", "fp8"], default="auto")
+                   choices=["auto", "bf16", "fp8", "int8"], default="auto")
     p.add_argument("--memory-ratio", type=float, default=0.9)
     p.add_argument("--max-seq-len", dest="max_seq_len_override", type=int)
     p.add_argument("--num-pages", dest="num_page_override", type=int)

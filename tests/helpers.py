@@ -16,6 +16,7 @@ from minisgl_tpu.engine.step import DeviceState, build_step_fn
 from minisgl_tpu.models.base import create_model
 from minisgl_tpu.models.config import ModelConfig
 from minisgl_tpu.models.weight import load_params
+from minisgl_tpu.ops.kv import KV
 from minisgl_tpu.parallel.mesh import create_mesh
 from minisgl_tpu.utils import cached_load_hf_config, div_ceil
 
@@ -120,9 +121,12 @@ class SimpleRunner:
             jax.sharding.PartitionSpec(None, None, "model", None)
         )
         self.state = DeviceState(
-            kv=jax.device_put(
-                jnp.zeros((L * num_pages, page_size, 2 * kvh, hd), dtype),
-                kv_sharding,
+            kv=KV(
+                data=jax.device_put(
+                    jnp.zeros((L * num_pages, page_size, 2 * kvh, hd), dtype),
+                    kv_sharding,
+                ),
+                scale=None,
             ),
             token_slots=jnp.zeros((9,), jnp.int32),
             rng=jax.random.PRNGKey(0),

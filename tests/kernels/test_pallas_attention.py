@@ -13,6 +13,7 @@ import pytest
 from minisgl_tpu.attention.metadata import AttnMetadata
 from minisgl_tpu.attention.pallas_backend import pallas_ragged_paged_attention
 from minisgl_tpu.attention.xla_backend import xla_paged_attention
+from minisgl_tpu.ops.kv import KV
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -24,14 +25,21 @@ HD = 128 if not _interpret() else 32
 PS = 4  # page size
 
 
-def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16):
+def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16, int8=False):
     """seqs: list of (q_len, kv_len). Builds padded metadata + pool the way
     engine/batch_builder does, with q segments aligned to BQ."""
     B = len(seqs)
     N = B * pages_cap + 1
-    kv_pool = jnp.asarray(
-        rng.standard_normal((N, PS, 2 * kvh, HD)), jnp.float32
-    )
+    raw = rng.standard_normal((N, PS, 2 * kvh, HD)).astype(np.float32)
+    if int8:
+        amax = np.abs(raw).max(axis=-1)  # [N, PS, 2kvh]
+        sc = np.maximum(amax, 1e-8) / 127.0
+        qdata = np.clip(np.rint(raw / sc[..., None]), -127, 127).astype(np.int8)
+        # [N, PS, 2kvh] -> [N, 2, PS, kvh] plane-major scale layout
+        sc = sc.reshape(N, PS, 2, kvh).transpose(0, 2, 1, 3)
+        kv_pool = KV(jnp.asarray(qdata), jnp.asarray(sc, jnp.float32))
+    else:
+        kv_pool = KV(jnp.asarray(raw, jnp.float32), None)
 
     page_table = np.zeros((B, pages_cap), np.int32)
     seq_lens = np.zeros((B,), np.int32)
@@ -133,3 +141,48 @@ def test_long_multi_chunk():
     seqs = [(60, 64)]
     q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=4)
     _check(q, kv, meta, BQ=4)
+
+
+# ---- int8 KV pool (per-(token, head) scales, ops/kv.py) --------------------
+
+
+def _dequant(kv: KV) -> KV:
+    data, sc = kv
+    N, PS_, kvh2, _ = data.shape
+    kvh = kvh2 // 2
+    sc_full = np.asarray(sc).transpose(0, 2, 1, 3).reshape(N, PS_, kvh2)
+    return KV(
+        jnp.asarray(np.asarray(data, np.float32) * sc_full[..., None]), None
+    )
+
+
+def test_int8_kv_decode_parity():
+    rng = np.random.default_rng(6)
+    seqs = [(1, 3), (1, 29), (1, 64)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=1, int8=True)
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    want = xla_paged_attention(q, _dequant(kv), meta, PS, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+    # the xla backend's own int8 path must agree too
+    want2 = xla_paged_attention(q, kv, meta, PS, scale)
+    np.testing.assert_allclose(np.asarray(want2), np.asarray(want), **TOL)
+
+
+def test_int8_kv_prefill_parity():
+    rng = np.random.default_rng(7)
+    seqs = [(24, 24), (10, 40)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=8, int8=True)
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=8, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    want = xla_paged_attention(q, _dequant(kv), meta, PS, scale)
+    real = np.asarray(meta.q_req_ids) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[real], np.asarray(want)[real], **TOL
+    )
