@@ -197,6 +197,21 @@ def main() -> None:
             )
         )
         time_variant(engine, "smallpool", K)
+        del engine
+
+    if "int8kv" in variants:
+        engine = Engine(
+            EngineConfig(
+                MODEL,
+                use_dummy_weight=True,
+                max_running_req=BS,
+                max_seq_len_override=2048,
+                num_page_override=PAGES * 16 // PS,
+                page_size=PS,
+                kv_dtype="int8",
+            )
+        )
+        time_variant(engine, "int8kv", K)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,14 @@ class ProfileMsg(BaseTokenizerMsg):
     log_dir: str = "/tmp/minisgl_tpu_trace"
 
 
+@register_msg
+@dataclass
+class MetricsMsg(BaseTokenizerMsg):
+    """Request a scheduler metrics snapshot (frontend /metrics endpoint)."""
+
+    nonce: int = 0
+
+
 # ---- backend-bound (tokenizer -> scheduler) --------------------------------
 
 
@@ -77,6 +85,12 @@ class ProfileBackendMsg(BaseBackendMsg):
 
 @register_msg
 @dataclass
+class MetricsBackendMsg(BaseBackendMsg):
+    nonce: int = 0
+
+
+@register_msg
+@dataclass
 class ExitMsg(BaseBackendMsg):
     pass
 
@@ -102,6 +116,16 @@ class DetokenizeMsg:
     # client-disconnect abort: the detokenizer drops its per-uid streaming
     # state and emits no reply (nobody is listening)
     aborted: bool = False
+
+
+@register_msg
+@dataclass
+class MetricsSnapshot:
+    """Scheduler counters, riding the detokenizer->frontend reply stream
+    (the detokenize worker forwards it untouched)."""
+
+    nonce: int = 0
+    stats: dict = field(default_factory=dict)
 
 
 @register_msg
@@ -136,6 +160,9 @@ class BatchFrontendMsg(BaseFrontendMsg):
 __all__ = [
     "AbortBackendMsg",
     "AbortMsg",
+    "MetricsBackendMsg",
+    "MetricsMsg",
+    "MetricsSnapshot",
     "ProfileMsg",
     "ProfileBackendMsg",
     "BaseBackendMsg",

@@ -1,0 +1,61 @@
+"""Serving-plane metrics: counters the scheduler maintains per loop.
+
+The north-star metric set (BASELINE.md): radix hit rate (cached vs computed
+prefill tokens) plus throughput/occupancy counters. The reference exposes no
+server metrics at all; the closest hook is its radix match accounting
+(/root/reference/python/minisgl/scheduler/prefill.py:39-63), which is where
+``count_prefill_admission`` is called from here too (PrefillAdder).
+Snapshots ride the detokenizer reply stream to the frontend's /metrics
+endpoint (message.MetricsSnapshot).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SchedulerMetrics:
+    started_at: float = field(default_factory=time.time)
+    # radix / prefix-cache effectiveness (north-star metric)
+    prefill_cached_tokens: int = 0
+    prefill_computed_tokens: int = 0
+    # throughput counters
+    decode_tokens: int = 0
+    prefill_steps: int = 0
+    decode_steps: int = 0
+    reqs_received: int = 0
+    reqs_finished: int = 0
+    reqs_aborted: int = 0
+
+    def count_prefill_admission(self, cached_len: int, extend_len: int) -> None:
+        """Called once per request admission (not per chunk continuation)."""
+        self.prefill_cached_tokens += cached_len
+        self.prefill_computed_tokens += extend_len
+
+    @property
+    def radix_hit_rate(self) -> float:
+        total = self.prefill_cached_tokens + self.prefill_computed_tokens
+        return self.prefill_cached_tokens / total if total else 0.0
+
+    def snapshot(self, scheduler) -> dict:
+        """Counters + live gauges sampled from the scheduler's managers."""
+        cache = scheduler.cache_manager
+        return {
+            "uptime_s": round(time.time() - self.started_at, 3),
+            "prefill_cached_tokens": self.prefill_cached_tokens,
+            "prefill_computed_tokens": self.prefill_computed_tokens,
+            "radix_hit_rate": round(self.radix_hit_rate, 6),
+            "decode_tokens": self.decode_tokens,
+            "prefill_steps": self.prefill_steps,
+            "decode_steps": self.decode_steps,
+            "reqs_received": self.reqs_received,
+            "reqs_finished": self.reqs_finished,
+            "reqs_aborted": self.reqs_aborted,
+            # gauges
+            "running_reqs": len(scheduler.decode_manager.running_reqs),
+            "queued_reqs": len(scheduler.prefill_manager.pending_list),
+            "pages_available": cache.available_size // scheduler.config.page_size,
+            "pages_total": scheduler.engine.num_pages,
+        }

@@ -65,6 +65,7 @@ class PrefillAdder:
     # engine builds (Pallas block alignment, attention/pallas_backend.py)
     # still fits the largest token bucket
     q_align: int = 1
+    metrics: object = None  # SchedulerMetrics (optional)
 
     def _try_allocate_one(
         self, req: PendingReq
@@ -87,6 +88,9 @@ class PrefillAdder:
             return None
 
         table_idx = self.table_manager.allocate()
+        if self.metrics is not None:
+            # north-star radix accounting: counted once per admission
+            self.metrics.count_prefill_admission(cached_len, extend_len)
         if cached_len > 0:
             # adopt the matched pages (shared with the radix tree; safe while
             # the handle stays locked)
@@ -155,7 +159,7 @@ class PrefillManager:
         )
 
     def schedule_next_batch(
-        self, prefill_budget: int, q_align: int = 1
+        self, prefill_budget: int, q_align: int = 1, metrics=None
     ) -> Optional[Batch]:
         if not self.pending_list:
             return None
@@ -165,6 +169,7 @@ class PrefillManager:
             cache_manager=self.cache_manager,
             table_manager=self.table_manager,
             q_align=q_align,
+            metrics=metrics,
         )
         reqs: List[Req] = []
         chunked_list: List[PendingReq] = []

@@ -34,10 +34,13 @@ from minisgl_tpu.message import (
     BatchBackendMsg,
     DetokenizeMsg,
     ExitMsg,
+    MetricsBackendMsg,
+    MetricsSnapshot,
     ProfileBackendMsg,
     UserMsg,
 )
 from minisgl_tpu.scheduler.cache import CacheManager
+from minisgl_tpu.scheduler.metrics import SchedulerMetrics
 from minisgl_tpu.scheduler.decode import DecodeManager
 from minisgl_tpu.scheduler.io import SchedulerIOMixin
 from minisgl_tpu.scheduler.prefill import ChunkedReq, PrefillManager
@@ -78,6 +81,7 @@ class Scheduler(SchedulerIOMixin):
         )
 
         self.finished_reqs: Set[Req] = set()
+        self.metrics = SchedulerMetrics()
         self.eos_token_ids = self._resolve_eos_ids()
         self.prefill_budget = config.max_extend_tokens
         self._running = True
@@ -209,6 +213,7 @@ class Scheduler(SchedulerIOMixin):
                 self.decode_manager.remove_req(req)
                 self._free_req_resources(req)
                 new_finished.add(req)
+                self.metrics.reqs_finished += 1
             elif batch.is_prefill:
                 self.cache_manager.cache_req(req, finished=False)
         self.finished_reqs = new_finished
@@ -222,6 +227,7 @@ class Scheduler(SchedulerIOMixin):
             raise KeyboardInterrupt
         elif isinstance(msg, UserMsg):
             logger.debug(f"recv uid={msg.uid} len={len(msg.input_ids)}")
+            self.metrics.reqs_received += 1
             input_len = len(msg.input_ids)
             max_seq_len = self.engine.max_seq_len
             max_output_len = max_seq_len - input_len
@@ -251,10 +257,15 @@ class Scheduler(SchedulerIOMixin):
             else:
                 out = stop_device_trace()
                 logger.info(f"profiler stopped -> {out}")
+        elif isinstance(msg, MetricsBackendMsg):
+            self.send_result(
+                [MetricsSnapshot(nonce=msg.nonce, stats=self.metrics.snapshot(self))]
+            )
         elif isinstance(msg, AbortBackendMsg):
             req = self.prefill_manager.abort_req(msg.uid)
             req = req or self.decode_manager.abort_req(msg.uid)
             if req is not None and req not in self.finished_reqs:
+                self.metrics.reqs_aborted += 1
                 self._free_req_resources(req)
                 # tell the detokenizer to drop its per-uid streaming state
                 # (otherwise it leaks for the server's lifetime)
@@ -277,7 +288,8 @@ class Scheduler(SchedulerIOMixin):
 
     def _schedule_next_batch(self) -> Optional[Batch]:
         batch = self.prefill_manager.schedule_next_batch(
-            self.prefill_budget, q_align=self.engine.q_align
+            self.prefill_budget, q_align=self.engine.q_align,
+            metrics=self.metrics,
         )
         if batch is None:
             # multi-step bursts only when no prefill is waiting (TTFT first)
@@ -297,6 +309,11 @@ class Scheduler(SchedulerIOMixin):
         return batch
 
     def _forward(self, batch: Batch) -> ForwardOutput:
+        if batch.is_prefill:
+            self.metrics.prefill_steps += 1
+        else:
+            self.metrics.decode_steps += 1
+            self.metrics.decode_tokens += batch.size * batch.decode_steps
         output = self.engine.forward_batch(batch)
         logger.debug(f"dispatched {batch.phase} B={batch.size}")
         self.decode_manager.filter_reqs(batch.reqs)

@@ -24,6 +24,8 @@ from minisgl_tpu.message import (
     AbortMsg,
     BaseTokenizerMsg,
     BatchFrontendMsg,
+    MetricsMsg,
+    MetricsSnapshot,
     ProfileMsg,
     TokenizeMsg,
 )
@@ -46,6 +48,8 @@ class FrontendManager:
         self.queues: Dict[int, asyncio.Queue] = {}
         self.uid_counter = 0
         self._listener: Optional[asyncio.Task] = None
+        self._metrics_futures: Dict[int, asyncio.Future] = {}
+        self._metrics_nonce = 0
 
     def start(self) -> None:
         if self._listener is None:
@@ -57,9 +61,27 @@ class FrontendManager:
         while True:
             batch = await self.recv_queue.get()
             for reply in batch.data:
+                if isinstance(reply, MetricsSnapshot):
+                    fut = self._metrics_futures.pop(reply.nonce, None)
+                    if fut is not None and not fut.done():
+                        fut.set_result(reply.stats)
+                    continue
                 q = self.queues.get(reply.uid)
                 if q is not None:
                     q.put_nowait(reply)
+
+    async def request_metrics(self, timeout: float = 5.0) -> Dict[str, Any]:
+        """Round-trip a MetricsMsg through tokenizer -> scheduler ->
+        detokenizer and await the snapshot."""
+        self._metrics_nonce += 1
+        nonce = self._metrics_nonce
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        self._metrics_futures[nonce] = fut
+        await self.send_queue.put(MetricsMsg(nonce=nonce))
+        try:
+            return await asyncio.wait_for(fut, timeout)
+        finally:
+            self._metrics_futures.pop(nonce, None)
 
     def new_user(self) -> int:
         uid = self.uid_counter
@@ -315,6 +337,18 @@ def build_app(manager: FrontendManager, args) -> web.Application:
         )
         return web.json_response({"ok": True})
 
+    async def metrics(request: web.Request):
+        """Scheduler counters incl. the north-star radix hit rate
+        (scheduler/metrics.py)."""
+        try:
+            stats = await manager.request_metrics()
+        except asyncio.TimeoutError:
+            return web.json_response(
+                {"error": {"message": "metrics timeout"}}, status=504
+            )
+        return web.json_response(stats)
+
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/debug/profile", profile)
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", models)

@@ -15,6 +15,9 @@ from typing import TYPE_CHECKING
 from minisgl_tpu.message import (
     AbortBackendMsg,
     AbortMsg,
+    MetricsBackendMsg,
+    MetricsMsg,
+    MetricsSnapshot,
     ProfileBackendMsg,
     ProfileMsg,
     BatchBackendMsg,
@@ -68,6 +71,8 @@ def tokenize_worker(args: "ServerArgs", worker_id: int, ack_queue) -> None:
                     )
                 elif isinstance(msg, AbortMsg):
                     out.append(AbortBackendMsg(uid=msg.uid))
+                elif isinstance(msg, MetricsMsg):
+                    out.append(MetricsBackendMsg(nonce=msg.nonce))
                 elif isinstance(msg, ProfileMsg):
                     out.append(
                         ProfileBackendMsg(action=msg.action, log_dir=msg.log_dir)
@@ -101,6 +106,9 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
             replies = []
             for batch in batches:
                 for msg in batch.data:
+                    if isinstance(msg, MetricsSnapshot):
+                        replies.append(msg)  # passthrough to the frontend
+                        continue
                     if msg.aborted:
                         manager.abort(msg.uid)
                         continue

@@ -10,6 +10,7 @@ import socket
 import subprocess
 import sys
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -152,3 +153,36 @@ def test_profile_endpoint(server):
     time.sleep(1)
     status, out = _post(f"{server}/debug/profile", {"action": "stop"})
     assert status == 200
+
+
+def test_metrics_endpoint(server):
+    """North-star serving metrics: counters + radix hit rate reportable from
+    a live server (scheduler/metrics.py round trip)."""
+    # identical prompts: the second admission should hit the radix cache
+    long_prompt = {"input_ids": list(range(50, 114)), "max_tokens": 3,
+                   "ignore_eos": True}
+    _post(f"{server}/generate", long_prompt)
+    _post(f"{server}/generate", long_prompt)
+    with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+        stats = json.loads(r.read())
+    assert stats["reqs_received"] >= 2
+    assert stats["reqs_finished"] >= 2
+    assert stats["prefill_computed_tokens"] > 0
+    assert stats["decode_tokens"] > 0
+    assert stats["pages_total"] == 256
+    # second identical prompt must have matched a cached prefix
+    assert stats["prefill_cached_tokens"] > 0
+    assert 0.0 < stats["radix_hit_rate"] < 1.0
+
+
+def test_max_tokens_zero_rejected(server):
+    req = urllib.request.Request(
+        f"{server}/generate",
+        data=json.dumps({"text": "x", "max_tokens": 0}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
