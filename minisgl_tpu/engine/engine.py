@@ -80,7 +80,9 @@ class Engine:
                 self.mesh_info,
             )
 
-        self.num_pages = self._determine_num_pages()
+        self.num_pages = self._agree_num_pages_across_hosts(
+            self._determine_num_pages()
+        )
         self.max_seq_len = min(
             config.max_seq_len, self.num_pages * config.page_size
         )
@@ -175,6 +177,35 @@ class Engine:
             f"KV sizing: {avail / 1e9:.2f} GB free/chip -> {num_pages} pages"
         )
         return num_pages
+
+    def _agree_num_pages_across_hosts(self, num_pages: int) -> int:
+        """Multi-host: every host must build the same page table. All-gather
+        each host's count, take the min, and hard-error on >5% imbalance —
+        a silently divergent pool would corrupt the lockstep schedule
+        (reference engine.py:148-189 all-reduces its allocation probe the
+        same way)."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return num_pages
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.asarray([num_pages]))
+        ).reshape(-1)
+        lo, hi = int(counts.min()), int(counts.max())
+        if hi - lo > 0.05 * hi:
+            raise RuntimeError(
+                f"cross-host KV sizing imbalance: per-host page counts "
+                f"{counts.tolist()} differ by more than 5% — check HBM "
+                f"usage/HBM_GB overrides on each host"
+            )
+        if lo != num_pages:
+            logger.warning(
+                f"KV pages reduced {num_pages} -> {lo} to match the smallest "
+                f"host"
+            )
+        return lo
 
     def _init_device_state(self) -> DeviceState:
         cfg = self.config

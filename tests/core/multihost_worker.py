@@ -3,7 +3,7 @@ test_multihost_e2e.py): one scheduler per "host", TP=2 across the two
 processes via jax.distributed over localhost, request stream lockstepped by
 the ZMQ counted broadcast (scheduler/io.py).
 
-Usage: python multihost_worker.py <node_rank> <base_port> <model_dir>
+Usage: python multihost_worker.py <node_rank> <base_port> <model_dir> [num_pages]
 """
 
 import os
@@ -12,6 +12,7 @@ import sys
 node_rank = int(sys.argv[1])
 base_port = int(sys.argv[2])
 model_dir = sys.argv[3]
+num_pages = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
@@ -33,7 +34,7 @@ config = SchedulerConfig(
     use_dummy_weight=True,
     max_running_req=4,
     max_seq_len_override=128,
-    num_page_override=128,
+    num_page_override=num_pages,
     page_size=4,
     cache_type="naive",
     attention_backend="xla",

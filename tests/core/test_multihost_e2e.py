@@ -106,3 +106,42 @@ def test_two_process_tp2_lockstep(tmp_path):
                 p.kill()
         feeder.stop()
         sink.stop()
+
+
+def test_imbalanced_kv_sizing_rejected(tmp_path):
+    """Deliberately unequal per-host page counts must hard-error (>5%
+    imbalance), not silently diverge the lockstep page tables."""
+    from tests.helpers import save_tiny_hf_model
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    save_tiny_hf_model(model_dir, "llama")
+
+    base_port = _free_port_block()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(base_port), model_dir,
+             str(pages)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+        for rank, pages in ((0, 128), (1, 96))
+    ]
+    try:
+        deadline = time.time() + 180
+        outs = [b"", b""]
+        while time.time() < deadline and any(p.poll() is None for p in procs):
+            time.sleep(1)
+        for i, p in enumerate(procs):
+            assert p.poll() is not None, "worker should have exited with error"
+            outs[i] = p.stdout.read()
+        assert any(b"imbalance" in o for o in outs), outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
