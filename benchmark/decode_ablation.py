@@ -137,6 +137,7 @@ def time_variant(engine, name: str, k: int) -> float:
             True,
             packed_dims=dims,
             decode_steps=k,
+            kv_has_scale=engine.kv_scaled,
         )
         for _ in range(3):  # compile + warm
             engine.state, toks = step(engine.params, engine.state, packed)

@@ -52,7 +52,9 @@ class ForwardOutput(NamedTuple):
 class Engine:
     def __init__(self, config: EngineConfig, mesh_info: Optional[MeshInfo] = None):
         self.config = config
-        self.mesh_info = mesh_info or create_mesh(config.tp_size, config.dp_size)
+        # DP is replica-level (scheduler/scheduler.py Replica): one engine
+        # owns ONE tp-mesh; dp>1 callers pass a device-subset mesh_info
+        self.mesh_info = mesh_info or create_mesh(config.tp_size)
         self.model_config = config.model_config
         self.model = create_model(
             self.model_config, config.tp_size, quant=config.quantization
@@ -160,7 +162,7 @@ class Engine:
 
             hbm = ENV.HBM_GB * 1e9
             param_bytes = sum(p.nbytes for p in self.params.values()) / max(
-                1, self.mesh_info.tp_size * self.mesh_info.dp_size
+                1, self.mesh_info.tp_size
             )
             avail = hbm * cfg.memory_ratio - param_bytes
             logger.warning(

@@ -40,8 +40,9 @@ class SchedulerMetrics:
         return self.prefill_cached_tokens / total if total else 0.0
 
     def snapshot(self, scheduler) -> dict:
-        """Counters + live gauges sampled from the scheduler's managers."""
-        cache = scheduler.cache_manager
+        """Counters + live gauges aggregated over the DP replicas."""
+        reps = scheduler.replicas
+        ps = scheduler.config.page_size
         return {
             "uptime_s": round(time.time() - self.started_at, 3),
             "prefill_cached_tokens": self.prefill_cached_tokens,
@@ -53,9 +54,16 @@ class SchedulerMetrics:
             "reqs_received": self.reqs_received,
             "reqs_finished": self.reqs_finished,
             "reqs_aborted": self.reqs_aborted,
-            # gauges
-            "running_reqs": len(scheduler.decode_manager.running_reqs),
-            "queued_reqs": len(scheduler.prefill_manager.pending_list),
-            "pages_available": cache.available_size // scheduler.config.page_size,
-            "pages_total": scheduler.engine.num_pages,
+            # gauges (summed over DP replicas)
+            "dp_size": len(reps),
+            "running_reqs": sum(
+                len(r.decode_manager.running_reqs) for r in reps
+            ),
+            "queued_reqs": sum(
+                len(r.prefill_manager.pending_list) for r in reps
+            ),
+            "pages_available": sum(
+                r.cache_manager.available_size // ps for r in reps
+            ),
+            "pages_total": sum(r.engine.num_pages for r in reps),
         }

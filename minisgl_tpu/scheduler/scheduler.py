@@ -8,6 +8,13 @@ here ``Engine.forward_batch`` enqueues the jitted step and returns a device
 token array immediately, the host schedules batch N+1, and only then blocks on
 batch N's tokens via np.asarray — same pipeline, no streams to manage.
 
+Data parallelism (no reference counterpart — the reference scales with TP
+only): ``dp_size`` replicas are INDEPENDENT engines, each owning a disjoint
+device subset, its own KV pool/page space, and its own admission/running
+state, with requests routed to the least-loaded replica at arrival. This is
+router-style DP — true throughput scaling with zero replicated compute or
+wasted HBM — and every replica still overlaps its dispatch with host work.
+
 Invariants carried over from the reference:
 - prefill-first policy (scheduler.py:219-225)
 - results processed one iteration behind; double-free of just-finished reqs
@@ -20,6 +27,7 @@ Invariants carried over from the reference:
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass, field
 from typing import List, Optional, Set, Tuple
 
 import numpy as np
@@ -40,16 +48,41 @@ from minisgl_tpu.message import (
     UserMsg,
 )
 from minisgl_tpu.scheduler.cache import CacheManager
-from minisgl_tpu.scheduler.metrics import SchedulerMetrics
 from minisgl_tpu.scheduler.decode import DecodeManager
 from minisgl_tpu.scheduler.io import SchedulerIOMixin
+from minisgl_tpu.scheduler.metrics import SchedulerMetrics
 from minisgl_tpu.scheduler.prefill import ChunkedReq, PrefillManager
 from minisgl_tpu.scheduler.table import TableManager
 from minisgl_tpu.utils import init_logger
 
 logger = init_logger(__name__, "Scheduler")
 
-ForwardData = Tuple[Batch, ForwardOutput]
+
+@dataclass
+class Replica:
+    """One data-parallel serving replica: engine + all per-replica state."""
+
+    idx: int
+    engine: Engine
+    table_manager: TableManager
+    cache_manager: CacheManager
+    decode_manager: DecodeManager
+    prefill_manager: PrefillManager
+    finished_reqs: Set[Req] = field(default_factory=set)
+
+    @property
+    def load(self) -> int:
+        return len(self.prefill_manager.pending_list) + len(
+            self.decode_manager.running_reqs
+        )
+
+    @property
+    def has_work(self) -> bool:
+        return self.prefill_manager.runnable or self.decode_manager.runnable
+
+
+# (replica, batch, in-flight device tokens) awaiting its one-behind fetch
+ForwardData = Tuple[Replica, Batch, ForwardOutput]
 
 
 class Scheduler(SchedulerIOMixin):
@@ -61,32 +94,79 @@ class Scheduler(SchedulerIOMixin):
             # keeps every host's batch schedule byte-identical
             import jax
 
+            assert config.dp_size == 1, "dp replicas are per-host; use tp across hosts"
             jax.distributed.initialize(
                 config.dist_init_addr,
                 num_processes=config.num_nodes,
                 process_id=config.node_rank,
             )
-        self.engine = Engine(config)
 
-        self.table_manager = TableManager(config.max_running_req)
-        self.cache_manager = CacheManager(
-            self.engine.num_pages,
-            config.page_size,
-            self.table_manager,
-            config.cache_type,
-        )
-        self.decode_manager = DecodeManager(config.page_size)
-        self.prefill_manager = PrefillManager(
-            self.cache_manager, self.table_manager, self.decode_manager
-        )
+        self.replicas = [
+            self._make_replica(r, config) for r in range(config.dp_size)
+        ]
 
-        self.finished_reqs: Set[Req] = set()
         self.metrics = SchedulerMetrics()
         self.eos_token_ids = self._resolve_eos_ids()
         self.prefill_budget = config.max_extend_tokens
         self._running = True
 
         super().__init__(config)
+
+    def _make_replica(self, idx: int, config: SchedulerConfig) -> Replica:
+        from minisgl_tpu.parallel.mesh import create_mesh
+
+        mesh_info = None
+        if config.dp_size > 1:
+            import jax
+
+            devs = jax.devices()[idx * config.tp_size : (idx + 1) * config.tp_size]
+            assert len(devs) == config.tp_size, (
+                f"dp={config.dp_size} x tp={config.tp_size} needs "
+                f"{config.dp_size * config.tp_size} devices"
+            )
+            mesh_info = create_mesh(config.tp_size, devices=devs)
+        engine = Engine(config, mesh_info=mesh_info)
+        table_manager = TableManager(config.max_running_req)
+        cache_manager = CacheManager(
+            engine.num_pages, config.page_size, table_manager, config.cache_type
+        )
+        decode_manager = DecodeManager(config.page_size)
+        prefill_manager = PrefillManager(
+            cache_manager, table_manager, decode_manager
+        )
+        return Replica(
+            idx=idx,
+            engine=engine,
+            table_manager=table_manager,
+            cache_manager=cache_manager,
+            decode_manager=decode_manager,
+            prefill_manager=prefill_manager,
+        )
+
+    # -- single-replica compatibility accessors (tests, launch, offline API)
+    @property
+    def engine(self) -> Engine:
+        return self.replicas[0].engine
+
+    @property
+    def cache_manager(self) -> CacheManager:
+        return self.replicas[0].cache_manager
+
+    @property
+    def table_manager(self) -> TableManager:
+        return self.replicas[0].table_manager
+
+    @property
+    def decode_manager(self) -> DecodeManager:
+        return self.replicas[0].decode_manager
+
+    @property
+    def prefill_manager(self) -> PrefillManager:
+        return self.replicas[0].prefill_manager
+
+    def warmup(self) -> None:
+        for rep in self.replicas:
+            rep.engine.warmup()
 
     def _resolve_eos_ids(self) -> Set[int]:
         eos: Set[int] = set()
@@ -109,39 +189,41 @@ class Scheduler(SchedulerIOMixin):
     # ------------------------------------------------------------- main loop
 
     def run_when_idle(self) -> None:
-        self.cache_manager.check_integrity()
+        for rep in self.replicas:
+            rep.cache_manager.check_integrity()
 
-    def overlap_loop(self, last_data: Optional[ForwardData]) -> Optional[ForwardData]:
-        blocking = not (
-            last_data is not None
-            or self.prefill_manager.runnable
-            or self.decode_manager.runnable
-        )
-        if blocking and last_data is None:
-            self.run_when_idle()
-        for msg in self.receive_msg(blocking=blocking):
-            self._process_one_msg(msg)
-
-        batch = self._schedule_next_batch()
-        ongoing: Optional[ForwardData] = None
-        if batch is not None:
-            ongoing = (batch, self._forward(batch))
-
-        self._process_last_data(last_data)
-        return ongoing
-
-    def normal_loop(self) -> None:
-        blocking = not (
-            self.prefill_manager.runnable or self.decode_manager.runnable
+    def overlap_loop(
+        self, last_data: List[Optional[ForwardData]]
+    ) -> List[Optional[ForwardData]]:
+        blocking = all(d is None for d in last_data) and not any(
+            rep.has_work for rep in self.replicas
         )
         if blocking:
             self.run_when_idle()
         for msg in self.receive_msg(blocking=blocking):
             self._process_one_msg(msg)
-        batch = self._schedule_next_batch()
-        if batch is not None:
-            out = self._forward(batch)
-            self._process_last_data((batch, out))
+
+        ongoing: List[Optional[ForwardData]] = [None] * len(self.replicas)
+        for rep in self.replicas:
+            batch = self._schedule_next_batch(rep)
+            if batch is not None:
+                ongoing[rep.idx] = (rep, batch, self._forward(rep, batch))
+
+        for data in last_data:
+            self._process_last_data(data)
+        return ongoing
+
+    def normal_loop(self) -> None:
+        blocking = not any(rep.has_work for rep in self.replicas)
+        if blocking:
+            self.run_when_idle()
+        for msg in self.receive_msg(blocking=blocking):
+            self._process_one_msg(msg)
+        for rep in self.replicas:
+            batch = self._schedule_next_batch(rep)
+            if batch is not None:
+                out = self._forward(rep, batch)
+                self._process_last_data((rep, batch, out))
 
     def run_forever(self) -> None:
         # Other exceptions (e.g. the offline API's RequestAllFinished)
@@ -151,15 +233,16 @@ class Scheduler(SchedulerIOMixin):
                 while self._running:
                     self.normal_loop()
             else:
-                data: Optional[ForwardData] = None
-                while self._running or data is not None:
+                data: List[Optional[ForwardData]] = [None] * len(self.replicas)
+                while self._running or any(d is not None for d in data):
                     data = self.overlap_loop(data)
         except KeyboardInterrupt:
             logger.info("scheduler interrupted, shutting down")
             self.shutdown()
 
     def shutdown(self) -> None:
-        self.engine.shutdown()
+        for rep in self.replicas:
+            rep.engine.shutdown()
         self.shutdown_io()
 
     # ------------------------------------------------------------ processing
@@ -167,7 +250,7 @@ class Scheduler(SchedulerIOMixin):
     def _process_last_data(self, last_data: Optional[ForwardData]) -> None:
         if last_data is None:
             return
-        batch, output = last_data
+        rep, batch, output = last_data
         # the only host-device sync, one iteration behind (reference
         # scheduler.py:142 copy_done.synchronize())
         t0 = time.perf_counter()
@@ -182,7 +265,7 @@ class Scheduler(SchedulerIOMixin):
         for i, req in enumerate(batch.reqs):
             if isinstance(req, ChunkedReq):
                 continue
-            if req in self.finished_reqs:
+            if req in rep.finished_reqs:
                 # overlap scheduling decoded one extra step for an
                 # already-finished req; drop it (reference scheduler.py:159)
                 continue
@@ -210,14 +293,17 @@ class Scheduler(SchedulerIOMixin):
             if finished:
                 # discard device-side tokens past the finish point
                 req.clamp_to_host()
-                self.decode_manager.remove_req(req)
-                self._free_req_resources(req)
+                rep.decode_manager.remove_req(req)
+                self._free_req_resources(rep, req)
                 new_finished.add(req)
                 self.metrics.reqs_finished += 1
             elif batch.is_prefill:
-                self.cache_manager.cache_req(req, finished=False)
-        self.finished_reqs = new_finished
+                rep.cache_manager.cache_req(req, finished=False)
+        rep.finished_reqs = new_finished
         self.send_result(reply)
+
+    def _route_replica(self) -> Replica:
+        return min(self.replicas, key=lambda rep: rep.load)
 
     def _process_one_msg(self, msg: BaseBackendMsg) -> None:
         if isinstance(msg, BatchBackendMsg):
@@ -242,7 +328,7 @@ class Scheduler(SchedulerIOMixin):
                 return
             if msg.sampling_params.max_tokens > max_output_len:
                 msg.sampling_params.max_tokens = max_output_len
-            self.prefill_manager.add_one_req(
+            self._route_replica().prefill_manager.add_one_req(
                 msg.uid, msg.input_ids, msg.sampling_params
             )
         elif isinstance(msg, ProfileBackendMsg):
@@ -262,59 +348,63 @@ class Scheduler(SchedulerIOMixin):
                 [MetricsSnapshot(nonce=msg.nonce, stats=self.metrics.snapshot(self))]
             )
         elif isinstance(msg, AbortBackendMsg):
-            req = self.prefill_manager.abort_req(msg.uid)
-            req = req or self.decode_manager.abort_req(msg.uid)
-            if req is not None and req not in self.finished_reqs:
-                self.metrics.reqs_aborted += 1
-                self._free_req_resources(req)
-                # tell the detokenizer to drop its per-uid streaming state
-                # (otherwise it leaks for the server's lifetime)
-                self.send_result(
-                    [
-                        DetokenizeMsg(
-                            uid=msg.uid, next_token=0, finished=True,
-                            aborted=True,
-                        )
-                    ]
-                )
+            for rep in self.replicas:
+                req = rep.prefill_manager.abort_req(msg.uid)
+                req = req or rep.decode_manager.abort_req(msg.uid)
+                if req is not None and req not in rep.finished_reqs:
+                    self.metrics.reqs_aborted += 1
+                    self._free_req_resources(rep, req)
+                    # tell the detokenizer to drop its per-uid streaming
+                    # state (otherwise it leaks for the server's lifetime)
+                    self.send_result(
+                        [
+                            DetokenizeMsg(
+                                uid=msg.uid, next_token=0, finished=True,
+                                aborted=True,
+                            )
+                        ]
+                    )
+                if req is not None:
+                    break
         else:
             raise NotImplementedError(f"unknown message {type(msg)}")
 
-    def _free_req_resources(self, req: Req) -> None:
-        self.cache_manager.cache_req(req, finished=True)
-        self.table_manager.free(req.table_idx)
+    def _free_req_resources(self, rep: Replica, req: Req) -> None:
+        rep.cache_manager.cache_req(req, finished=True)
+        rep.table_manager.free(req.table_idx)
 
     # ------------------------------------------------------------ scheduling
 
-    def _schedule_next_batch(self) -> Optional[Batch]:
-        batch = self.prefill_manager.schedule_next_batch(
-            self.prefill_budget, q_align=self.engine.q_align,
+    def _schedule_next_batch(self, rep: Replica) -> Optional[Batch]:
+        batch = rep.prefill_manager.schedule_next_batch(
+            self.prefill_budget, q_align=rep.engine.q_align,
             metrics=self.metrics,
         )
         if batch is None:
             # multi-step bursts only when no prefill is waiting (TTFT first)
-            k = 1 if self.prefill_manager.runnable else self.config.decode_steps
-            batch = self.decode_manager.schedule_next_batch(k)
+            k = 1 if rep.prefill_manager.runnable else self.config.decode_steps
+            batch = rep.decode_manager.schedule_next_batch(k)
         if batch is None:
             return None
-        self.cache_manager.allocate_paged(
+        rep.cache_manager.allocate_paged(
             batch.reqs, lookahead=batch.decode_steps - 1
         )
-        batch.metadata = self.engine.build_metadata(
-            batch, self.table_manager.page_lists
+        batch.metadata = rep.engine.build_metadata(
+            batch, rep.table_manager.page_lists
         )
         logger.debug(
-            f"scheduled {batch.phase} B={batch.size} T={batch.metadata.num_tokens}"
+            f"scheduled {batch.phase} B={batch.size} "
+            f"T={batch.metadata.num_tokens} replica={rep.idx}"
         )
         return batch
 
-    def _forward(self, batch: Batch) -> ForwardOutput:
+    def _forward(self, rep: Replica, batch: Batch) -> ForwardOutput:
         if batch.is_prefill:
             self.metrics.prefill_steps += 1
         else:
             self.metrics.decode_steps += 1
             self.metrics.decode_tokens += batch.size * batch.decode_steps
-        output = self.engine.forward_batch(batch)
-        logger.debug(f"dispatched {batch.phase} B={batch.size}")
-        self.decode_manager.filter_reqs(batch.reqs)
+        output = rep.engine.forward_batch(batch)
+        logger.debug(f"dispatched {batch.phase} B={batch.size} r={rep.idx}")
+        rep.decode_manager.filter_reqs(batch.reqs)
         return output

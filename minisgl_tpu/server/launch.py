@@ -48,7 +48,7 @@ def _run_scheduler(args: ServerArgs, ack_queue) -> None:
     from minisgl_tpu.scheduler.scheduler import Scheduler
 
     scheduler = Scheduler(args)
-    scheduler.engine.warmup()
+    scheduler.warmup()
     ack_queue.put("scheduler")
     scheduler.run_forever()
 

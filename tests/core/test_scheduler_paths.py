@@ -84,10 +84,11 @@ def test_abort_releases_resources(model_dir):
         input_ids=np.arange(10, 40, dtype=np.int32),
         params=SamplingParams(max_tokens=50, ignore_eos=True),
     )
-    batch = llm._schedule_next_batch()
+    rep = llm.replicas[0]
+    batch = llm._schedule_next_batch(rep)
     assert batch is not None and batch.is_prefill
-    out = llm._forward(batch)
-    llm._process_last_data((batch, out))
+    out = llm._forward(rep, batch)
+    llm._process_last_data((rep, batch, out))
     llm._process_one_msg(AbortBackendMsg(uid=999))
     llm.cache_manager.check_integrity()
     # all pages back (free list + radix-owned evictables)
