@@ -98,23 +98,24 @@ def store_kv(
     else:
         kv_new = kv_new.astype(kv_pool.dtype)
     T = kv_new.shape[0]
+    # Scaled (int8) pools always scatter: the [2, kvh] scale rows are too
+    # narrow for efficient DMA descriptors (kvh lanes of 128 — Mosaic
+    # compiles them pathologically slowly), and the decode-ablation showed
+    # the whole store path is ~1 ms/step either way.
+    if kv_scale is not None:
+        new_pool = kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+        return KV(
+            new_pool,
+            kv_scale.at[rows, :, offs].set(scale, mode="promise_in_bounds"),
+        )
     if jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
         # (the Pallas store is one serial DMA per token). On TPU decode the
         # scatter's cost scales with the pool, not the written rows
         # (BENCHLOG.md decomposition), so small-T steps take the Pallas path.
-        new_pool = kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
-        if kv_scale is None:
-            return KV(new_pool, None)
         return KV(
-            new_pool,
-            kv_scale.at[rows, :, offs].set(scale, mode="promise_in_bounds"),
+            kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds"), None
         )
     from minisgl_tpu.ops.store_pallas import pallas_store_kv
 
-    if kv_scale is None:
-        return KV(pallas_store_kv(kv_pool, rows, offs, kv_new), None)
-    new_pool, new_scale = pallas_store_kv(
-        kv_pool, rows, offs, kv_new, kv_scale=kv_scale, scale_new=scale
-    )
-    return KV(new_pool, new_scale)
+    return KV(pallas_store_kv(kv_pool, rows, offs, kv_new), None)
