@@ -48,10 +48,10 @@ def _attn_kernel(
     pt_ref,  # [B, PB] i32 page tables (scalar prefetch, SMEM)
     # then positionally: q_ref [BQ, Hq, hd], pos_ref [1, BQ, 1],
     # qrid_ref [1, BQ, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
-    # (sc_hbm ANY [N, 2, ps, kvh] — int8 pools only),
+    # (sc_hbm ANY [N, ps, 128] prefill scale sidecar — int8 pools only),
     # output o_ref [BQ, Hq, hd],
     # scratch kv_buf [2, CP, ps, 2*kvh, hd], sems [2, CP],
-    # (sc_buf [2, CP, 2, ps, kvh], sc_sems [2, CP] — int8 pools only)
+    # (sc_buf [2, CP, ps, 128], sc_sems [2, CP] — int8 pools only)
     *refs,
     scale: float,
     block_q: int,
@@ -136,6 +136,10 @@ def _attn_kernel(
             slot = ci % 2
             wait_dma(slot)
             kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
+            if has_scale:
+                # prefill sidecar [CP, ps, 128] -> [Tc, 128]: token rows in
+                # sublanes, head scales in lanes (ops/kv.py layout)
+                sc_all = sc_buf[slot].reshape(Tc, 128)
 
             kv_idx = ci * Tc + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, Tc), dimension=1
@@ -148,10 +152,23 @@ def _attn_kernel(
                 k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
                 v = kv[:, kvh + h, :].astype(q_ref.dtype)
                 if has_scale:
-                    # int8 pool: per-(token, head) scales hit the SCORES
-                    # (and probabilities), not the [Tc, hd] data
-                    sk_h = sc_buf[slot][:, 0, :, h].reshape(1, Tc)
-                    sv_h = sc_buf[slot][:, 1, :, h].reshape(1, Tc)
+                    # extract head h's per-token scale column with a one-hot
+                    # dot (lane h -> lane 0 broadcastable [Tc, 1] column; a
+                    # direct [:, h] lane slice is not Mosaic-lowerable) and
+                    # dequantize the chunk data
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                    sk_col = jax.lax.dot_general(
+                        sc_all, (lane == h).astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [Tc, 1]
+                    sv_col = jax.lax.dot_general(
+                        sc_all, (lane == kvh + h).astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    k = (k.astype(jnp.float32) * sk_col).astype(q_ref.dtype)
+                    v = (v.astype(jnp.float32) * sv_col).astype(q_ref.dtype)
                 groups = [h] if BQ == 1 else range(h * G, (h + 1) * G)
                 for j in groups:
                     s = jax.lax.dot_general(
@@ -160,8 +177,6 @@ def _attn_kernel(
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [rows, Tc] (rows = G for decode, BQ for prefill)
-                    if has_scale:
-                        s = s * sk_h
                     s = jnp.where(mask, s, _NEG_INF)
                     m_new = jnp.maximum(
                         ms[j], jnp.max(s, axis=1, keepdims=True)
@@ -169,8 +184,6 @@ def _attn_kernel(
                     p = jnp.exp(s - m_new)
                     alpha = jnp.exp(ms[j] - m_new)
                     l_new = ls[j] * alpha + jnp.sum(p, axis=1, keepdims=True)
-                    if has_scale:
-                        p = p * sv_h
                     pv = jax.lax.dot_general(
                         p.astype(v.dtype),
                         v,
@@ -211,11 +224,11 @@ def _decode_kernel(
     pt_ref,  # [B, PB] i32 page tables (SMEM)
     # then positionally: q_ref [1, Hq, hd], pos_ref [1, 1, 1],
     # qrid_ref [1, 1, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
-    # (sc_hbm ANY [N, 2, ps, kvh] — int8 pools only),
+    # (sc_hbm ANY [N, 2, SW] decode scale sidecar, SW = ps*kvh — int8 only),
     # output o_ref [1, Hq, hd],
     # scratch k_buf [2, CP, ps, kvh, hd], v_buf same, sems [2, CP, 2],
     # par_ref SMEM [1] i32 (buffer parity carried across grid programs),
-    # (sc_buf [2, CP, 2, ps, kvh], sc_sems [2, CP] — int8 pools only)
+    # (sc_buf [2, CP, 2, SW], sc_sems [2, CP] — int8 pools only)
     *refs,
     scale: float,
     pages_per_chunk: int,
@@ -358,8 +371,18 @@ def _decode_kernel(
             )  # [Hq, W]
             if has_scale:
                 # int8 pool: per-(token, head) dequant lands on the [Hq, W]
-                # scores/probs — hd x less work than scaling the KV data
-                s = s * sc_buf[slot][:, 0].reshape(1, W)
+                # scores/probs — hd x less work than scaling the KV data.
+                # Each page's sidecar row is already in flat (token, head)
+                # lane order (ops/kv.py), so the chunk's scale row is a
+                # lane-concat of whole-page rows.
+                sc = sc_buf[slot]  # [CP, 2, SW]
+                sck = jnp.concatenate(
+                    [sc[j, 0:1] for j in range(CP)], axis=1
+                )  # [1, W]
+                scv = jnp.concatenate(
+                    [sc[j, 1:2] for j in range(CP)], axis=1
+                )
+                s = s * sck
             s = s + amask_head
             # only the FINAL chunk can contain out-of-range tokens
             # (t >= bound = min(pos+1, kv_len)); interior chunks skip the
@@ -375,7 +398,7 @@ def _decode_kernel(
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             if has_scale:
-                p = p * sc_buf[slot][:, 1].reshape(1, W)
+                p = p * scv
             pv = jax.lax.dot_general(
                 p.astype(q_ref.dtype), v_all.astype(q_ref.dtype),
                 (((1,), (0,)), ((), ())),
@@ -403,10 +426,30 @@ def pallas_ragged_paged_attention(
     pages_per_chunk: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
-    kv_pool, kv_scale = kv
-    has_scale = kv_scale is not None
+    kv_pool = kv.data
     T, Hq, hd = q.shape
     N, ps, kvh2, _ = kv_pool.shape
+    # The flat decode kernel DMAs the K and V PLANES of each page separately
+    # (kv_hbm.at[page, :, 0:kvh, :]): a slice along the pool's second-minor
+    # dim, which Mosaic only lowers when offset/size land on its sublane
+    # tile for that dim. Measured on v5e: f32 slices at any kvh lower fine;
+    # bf16/int8 need kvh % 8 == 0 (int8 kvh=4 is rejected with "must be
+    # aligned to tiling (8)"). Misaligned geometries (e.g. small kvh_local
+    # at high TP) take the general kernel, which DMAs whole pages and
+    # splits in VMEM.
+    sub = 1 if jnp.dtype(kv_pool.dtype).itemsize == 4 else 8
+    use_flat_decode = block_q == 1 and (kvh2 // 2) % sub == 0
+    # the two kernels consume different sidecar layouts (ops/kv.py): flat
+    # decode scales the flattened score row, the general kernel dequantizes
+    # the K/V chunk data via the 128-lane prefill sidecar
+    kv_scale = kv.scale if use_flat_decode else kv.scale_p
+    has_scale = kv_scale is not None
+    if has_scale and use_flat_decode and not interpret:
+        SW = kv_scale.shape[-1]
+        assert SW % 128 == 0, (
+            f"int8 KV with the pallas decode kernel needs page_size * "
+            f"kv_heads_local ({SW}) % 128 == 0; adjust --page-size"
+        )
     B, PB = meta.page_table.shape
     BQ = block_q
     assert T % BQ == 0, (T, BQ)
@@ -454,7 +497,7 @@ def pallas_ragged_paged_attention(
                 pltpu.SemaphoreType.DMA((2, CP, 2)),
                 pltpu.SMEM((1,), jnp.int32),
             ]
-            if BQ == 1
+            if use_flat_decode
             else [
                 pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
                 pltpu.SemaphoreType.DMA((2, CP)),
@@ -462,7 +505,9 @@ def pallas_ragged_paged_attention(
         )
         + (
             [  # int8 pool: per-page scale rows ride their own DMA queue
-                pltpu.VMEM((2, CP, 2, ps, kvh2 // 2), jnp.float32),
+                pltpu.VMEM(
+                    (2, CP) + tuple(kv_scale.shape[1:]), jnp.float32
+                ),
                 pltpu.SemaphoreType.DMA((2, CP)),
             ]
             if has_scale
@@ -480,7 +525,7 @@ def pallas_ragged_paged_attention(
         [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
     ).reshape(n_blocks + 1, BQ, 1)
 
-    if BQ == 1:
+    if use_flat_decode:
         import os
 
         kernel = functools.partial(

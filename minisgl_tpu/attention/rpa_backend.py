@@ -32,12 +32,16 @@ def rpa_attention(
     # This transposes the WHOLE pool per call — rpa is an A/B and parity
     # backend only (it VMEM-OOMs at bs>=128 decode and crashes on prefill
     # shapes, BENCHLOG.md), so clarity beats cost here.
-    kv_pool, kv_scale = kv
+    kv_pool, kv_scale = kv.data, kv.scale
     if kv_scale is not None:
-        # parity-only backend: dequantize the whole int8 pool up front
+        # parity-only backend: dequantize the whole int8 pool up front from
+        # the flat sidecar [N, 2, ps*kvh] (lane order off*kvh + h)
         import jax.numpy as jnp
 
-        sc = kv_scale.transpose(0, 2, 1, 3).reshape(*kv_pool.shape[:2], -1)
+        N_, ps_, kvh2_, _ = kv_pool.shape
+        sc = kv_scale.reshape(N_, 2, ps_, kvh2_ // 2).transpose(
+            0, 2, 1, 3
+        ).reshape(N_, ps_, kvh2_)
         kv_pool = kv_pool.astype(jnp.bfloat16) * sc[..., None].astype(
             jnp.bfloat16
         )

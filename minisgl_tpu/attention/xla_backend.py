@@ -30,7 +30,7 @@ def xla_paged_attention(
     page_size: int,
     scale: float,
 ) -> jax.Array:
-    kv_pool, kv_scale = kv
+    kv_pool, kv_scale = kv.data, kv.scale
     T, Hq, hd = q.shape
     kvh = kv_pool.shape[2] // 2
     B, pages_cap = meta.page_table.shape
@@ -41,8 +41,10 @@ def xla_paged_attention(
     k = pages[:, :, :, :kvh, :].reshape(B, S_max, kvh, hd)
     v = pages[:, :, :, kvh:, :].reshape(B, S_max, kvh, hd)
     if kv_scale is not None:
-        # int8 pool: dequantize with the per-(token, head) scale sidecar
-        sc = kv_scale[meta.page_table]  # [B, PB, 2, ps, kvh]
+        # int8 pool: dequantize with the flat decode sidecar [N, 2, ps*kvh]
+        # (lane order off*kvh + h, ops/kv.py)
+        sc = kv_scale[meta.page_table]  # [B, PB, 2, ps*kvh]
+        sc = sc.reshape(B, pages_cap, 2, page_size, kvh)
         sk = sc[:, :, 0].reshape(B, S_max, kvh)
         sv = sc[:, :, 1].reshape(B, S_max, kvh)
         k = k.astype(jnp.float32) * sk[..., None]

@@ -96,6 +96,27 @@ class Engine:
         )
 
         backend = resolve_backend_name(config.attention_backend)
+        if (
+            self.kv_scaled
+            and backend == "pallas"
+            and jax.default_backend() == "tpu"
+        ):
+            import math
+
+            kvh_l = self.model.dims.kv_heads_local
+            sw = config.page_size * kvh_l
+            # the flat decode kernel (used when the K/V plane split is
+            # int8-tileable: kvh_local % 8 == 0, attention/pallas_backend.py)
+            # needs a 128-lane aligned scale sidecar row; other geometries
+            # fall back to the general kernel, which has no such constraint
+            if kvh_l % 8 == 0 and sw % 128:
+                need = 128 // math.gcd(128, kvh_l)
+                raise ValueError(
+                    f"int8 KV with the pallas backend needs page_size * "
+                    f"kv_heads_local % 128 == 0 (Mosaic DMA lane tiling); "
+                    f"got {config.page_size} * {kvh_l} = {sw}. Use a "
+                    f"--page-size multiple of {need}."
+                )
         from minisgl_tpu.attention.pallas_backend import QUERY_ALIGN
 
         self.q_align = QUERY_ALIGN.get(backend, 1)
@@ -121,18 +142,24 @@ class Engine:
         cfg = self.config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         kvh_local = self.model.dims.kv_heads_local
-        per_value = itemsize + (
-            # int8 pools carry a 4-byte scale per (token, head) row
-            4 / self.model_config.head_dim if self.kv_scaled else 0
-        )
-        return int(
+        data = (
             2  # K and V
             * self.model_config.num_layers
             * kvh_local
             * cfg.page_size
             * self.model_config.head_dim
-            * per_value
+            * itemsize
         )
+        sidecars = 0
+        if self.kv_scaled:
+            # per page: flat decode sidecar [2, ps*kvh] f32 + prefill
+            # sidecar [ps, 128] f32 (ops/kv.py layouts)
+            from minisgl_tpu.ops.kv import SCALE_P_LANES
+
+            sidecars = self.model_config.num_layers * 4 * (
+                2 * cfg.page_size * kvh_local + cfg.page_size * SCALE_P_LANES
+            )
+        return int(data + sidecars)
 
     def _determine_num_pages(self) -> int:
         cfg = self.config
@@ -217,8 +244,8 @@ class Engine:
         P_layer = self.num_pages + 1  # +1 dummy page 0 per layer
         kv_sharding = self.mesh_info.sharding(KV_SPEC)
 
-        from minisgl_tpu.engine.step import KV_SCALE_SPEC
-        from minisgl_tpu.ops.kv import KV
+        from minisgl_tpu.engine.step import KV_SCALE_P_SPEC, KV_SCALE_SPEC
+        from minisgl_tpu.ops.kv import KV, SCALE_P_LANES
 
         # allocate directly on-device in shards (no host-side global buffer)
         make_pool = jax.jit(
@@ -228,15 +255,30 @@ class Engine:
             out_shardings=kv_sharding,
         )
         if self.kv_scaled:
+            # sidecar lane dims are tp-blocked per-shard containers
+            # (ops/kv.py): global lane width = tp * local width
+            tp = self.mesh_info.tp_size
+            kvh_local = self.model.dims.kv_heads_local
             make_scale = jax.jit(
                 lambda: jnp.full(
-                    (L * P_layer, 2, cfg.page_size, kvh), 1e-8, jnp.float32
+                    (L * P_layer, 2, tp * cfg.page_size * kvh_local),
+                    1e-8,
+                    jnp.float32,
                 ),
                 out_shardings=self.mesh_info.sharding(KV_SCALE_SPEC),
             )
-            kv_state = KV(data=make_pool(), scale=make_scale())
+            make_scale_p = jax.jit(
+                lambda: jnp.zeros(
+                    (L * P_layer, cfg.page_size, tp * SCALE_P_LANES),
+                    jnp.float32,
+                ),
+                out_shardings=self.mesh_info.sharding(KV_SCALE_P_SPEC),
+            )
+            kv_state = KV(
+                data=make_pool(), scale=make_scale(), scale_p=make_scale_p()
+            )
         else:
-            kv_state = KV(data=make_pool(), scale=None)
+            kv_state = KV(data=make_pool())
         return DeviceState(
             kv=kv_state,
             token_slots=jax.device_put(

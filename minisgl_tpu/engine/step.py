@@ -31,14 +31,17 @@ from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
 class DeviceState(NamedTuple):
     # ops.kv.KV: pool [L*P, page_size, 2*kvh_eff(global), hd] (K/V
     # head-blocks, heads sharded over the TP mesh axis) + optional int8
-    # scale sidecar [L*P, 2, page_size, kvh_eff]
+    # scale sidecars (lane dims tp-blocked, sharded on the model axis —
+    # per-shard containers whose local views are [N, 2, ps*kvh_local] and
+    # [N, ps, 128]; layouts in ops/kv.py)
     kv: object
     token_slots: jax.Array  # [max_running_req + 1] int32, replicated
     rng: jax.Array  # PRNGKey, replicated
 
 
 KV_SPEC = P(None, None, MODEL_AXIS, None)
-KV_SCALE_SPEC = P(None, None, None, MODEL_AXIS)
+KV_SCALE_SPEC = P(None, None, MODEL_AXIS)
+KV_SCALE_P_SPEC = P(None, None, MODEL_AXIS)
 
 
 
@@ -135,7 +138,11 @@ def build_step_fn(
     from minisgl_tpu.ops.kv import KV
 
     sspecs = DeviceState(
-        kv=KV(data=KV_SPEC, scale=KV_SCALE_SPEC if kv_has_scale else None),
+        kv=KV(
+            data=KV_SPEC,
+            scale=KV_SCALE_SPEC if kv_has_scale else None,
+            scale_p=KV_SCALE_P_SPEC if kv_has_scale else None,
+        ),
         token_slots=P(),
         rng=P(),
     )

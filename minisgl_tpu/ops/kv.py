@@ -24,6 +24,24 @@ kernel/csrc/jit/store.cu:28-53). Layout decisions:
 - Padded batch rows read page 0 and padded new tokens scatter into page 0's
   slot 0 (reference dummy req/page trick, engine.py:89-98).
 
+int8 pools carry TWO per-(token, head) scale sidecars, because Mosaic DMA
+slices must be 128-lane aligned and the decode vs prefill kernels consume
+scales along opposite axes:
+
+- ``scale``  [L*P, 2, SW]  with SW = page_size * kvh (planes K=0, V=1; lane
+  ``off*kvh + h``).  The lane order IS the decode kernel's flattened score
+  column order, so per-chunk dequant is a lane-concat of whole-page rows.
+  On real TPU the pallas decode path requires SW % 128 == 0 (pick page_size
+  so page_size * kvh_local is a lane multiple; 16 * 8 = 128 for the
+  Llama/Qwen GQA geometry).  Under TP the GLOBAL lane dim is tp * SW_local
+  sharded on the model axis — a per-shard container, not a globally
+  meaningful order (only shard_map-local code ever reads it).
+- ``scale_p`` [L*P, page_size, 128]  (token in SUBLANES, head in lanes:
+  lane h = K-scale of head h, lane kvh + h = V-scale; rest zero).  The
+  prefill kernel extracts head columns with a [Tc, 128] @ [128, 1] one-hot
+  dot and multiplies them into the K/V chunk data.  Under TP the global
+  lane dim is tp * 128, sharded on the model axis.
+
 The scatter is a jnp advanced-index update; with the pool donated into the
 jitted step XLA performs it in place — no pool copy.
 """
@@ -35,15 +53,18 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+SCALE_P_LANES = 128  # lane width of the prefill scale sidecar
+
 
 class KV(NamedTuple):
     """The paged KV pool as one pytree: data + (for int8 pools) the
-    per-(token, head) scale sidecar. ``scale`` is None for bf16/f32/fp8
-    pools, so the pytree structure itself encodes the storage mode and
-    every jitted step specializes on it."""
+    per-(token, head) scale sidecars. ``scale``/``scale_p`` are None for
+    bf16/f32/fp8 pools, so the pytree structure itself encodes the storage
+    mode and every jitted step specializes on it."""
 
     data: jax.Array  # [L*P, page_size, 2*kvh, hd]
-    scale: Optional[jax.Array] = None  # [L*P, 2, page_size, kvh] f32
+    scale: Optional[jax.Array] = None  # [L*P, 2, page_size*kvh] f32
+    scale_p: Optional[jax.Array] = None  # [L*P, page_size, 128] f32
 
 
 def pack_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
@@ -59,8 +80,8 @@ def quantize_kv_rows(
     The v5e formulation of low-precision KV: the chip has no native fp8, so
     e4m3 casts are emulated bit surgery in the kernel hot loop (measured as a
     net regression, BENCHLOG round 1); int8<->bf16 converts are native, and
-    the per-row scales apply to the [Hq, W] SCORES inside the attention
-    kernel — hd=128x less scaling work than dequanting the KV data itself.
+    the per-row scales are applied inside the attention kernels (scores for
+    decode, K/V chunk data for prefill).
     """
     amax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1)  # [T, 2kvh]
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -70,43 +91,55 @@ def quantize_kv_rows(
     return q, scale.astype(jnp.float32)
 
 
+def scatter_kv_scales(
+    kv: KV, rows: jax.Array, offs: jax.Array, scale: jax.Array  # [T, 2kvh]
+) -> KV:
+    """Write per-token scales into both sidecars (layouts in module doc)."""
+    T = scale.shape[0]
+    kvh = scale.shape[1] // 2
+    # decode sidecar: planes [T, 2, kvh] at lane off*kvh + h
+    planes = scale.reshape(T, 2, kvh)
+    lanes = offs[:, None] * kvh + jnp.arange(kvh, dtype=offs.dtype)[None, :]
+    # advanced indices ([T,1] rows, [T,kvh] lanes) land in front: [T, kvh, 2]
+    new_scale = kv.scale.at[rows[:, None], :, lanes].set(
+        planes.transpose(0, 2, 1), mode="promise_in_bounds"
+    )
+    # prefill sidecar: one [128] lane row per token (K heads, V heads, pad)
+    row_vals = jnp.zeros((T, SCALE_P_LANES), jnp.float32)
+    row_vals = jax.lax.dynamic_update_slice(row_vals, scale, (0, 0))
+    new_scale_p = kv.scale_p.at[rows, offs].set(
+        row_vals, mode="promise_in_bounds"
+    )
+    return KV(kv.data, new_scale, new_scale_p)
+
+
 def store_kv(
-    kv: KV,  # combined pool (+ scale sidecar for int8 pools)
+    kv: KV,  # combined pool (+ scale sidecars for int8 pools)
     layer_id: jax.Array | int,
     pages_per_layer: int,
     out_slots: jax.Array,  # [T] token slots within the layer's page space
     k_new: jax.Array,  # [T, kvh, hd]
     v_new: jax.Array,
 ) -> KV:
-    """Scatter new KV rows (and, for int8 pools, their scales) in place.
-
-    The scale layout [row, plane(K/V), page_off, head] matches the flattened
-    (token, head) column order of the decode kernel's score matrix so the
-    per-chunk scale fetch is one contiguous 1KB DMA per page.
-    """
-    kv_pool, kv_scale = kv
+    """Scatter new KV rows (and, for int8 pools, their scales) in place."""
+    kv_pool = kv.data
     page_size = kv_pool.shape[1]
-    kvh = kv_pool.shape[2] // 2
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
     kv_new = pack_kv(k_new, v_new)
-    if kv_scale is not None:
+    if kv.scale is not None:
         assert kv_pool.dtype == jnp.int8
         kv_new, scale = quantize_kv_rows(kv_new)  # [T, 2kvh] scale
-        # [T, 2kvh] -> [T, 2, kvh] planes matching the pack order
-        scale = scale.reshape(-1, 2, kvh)
     else:
         kv_new = kv_new.astype(kv_pool.dtype)
     T = kv_new.shape[0]
-    # Scaled (int8) pools always scatter: the [2, kvh] scale rows are too
-    # narrow for efficient DMA descriptors (kvh lanes of 128 — Mosaic
-    # compiles them pathologically slowly), and the decode-ablation showed
-    # the whole store path is ~1 ms/step either way.
-    if kv_scale is not None:
+    # Scaled (int8) pools always scatter: the sidecar rows are narrow and
+    # the decode-ablation showed the whole store path is ~1 ms/step either
+    # way; the Pallas DMA store only pays off for the wide bf16 data rows.
+    if kv.scale is not None:
         new_pool = kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
-        return KV(
-            new_pool,
-            kv_scale.at[rows, :, offs].set(scale, mode="promise_in_bounds"),
+        return scatter_kv_scales(
+            KV(new_pool, kv.scale, kv.scale_p), rows, offs, scale
         )
     if jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
@@ -114,8 +147,8 @@ def store_kv(
         # scatter's cost scales with the pool, not the written rows
         # (BENCHLOG.md decomposition), so small-T steps take the Pallas path.
         return KV(
-            kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds"), None
+            kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
         )
     from minisgl_tpu.ops.store_pallas import pallas_store_kv
 
-    return KV(pallas_store_kv(kv_pool, rows, offs, kv_new), None)
+    return KV(pallas_store_kv(kv_pool, rows, offs, kv_new))

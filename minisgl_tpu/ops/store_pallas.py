@@ -7,17 +7,14 @@ scatter (`pool.at[rows, offs].set`) measured as the dominant decode cost —
 its cost scales with the pool, not the written rows (BENCHLOG.md). Here each
 grid program DMAs one token's [2*kvh, hd] row from VMEM into its
 (page row, offset) slot of the HBM pool, with ``input_output_aliases``
-keeping the pool buffer in place through the lax.scan carry. For int8 KV
-pools a second DMA drops the token's [2, kvh] scale row into the scale
-sidecar (ops/kv.py quantize_kv_rows).
+keeping the pool buffer in place through the lax.scan carry. Scaled (int8)
+pools take the XLA scatter path instead (ops/kv.py store_kv): their sidecar
+rows are too narrow for efficient DMA descriptors.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,91 +37,32 @@ def _store_kernel(
     copy.wait()
 
 
-def _store_kernel_scaled(
-    rows_ref,  # [T] i32
-    offs_ref,  # [T] i32
-    kv_new_ref,  # VMEM [1, 2*kvh, hd] int8
-    scale_new_ref,  # VMEM [1, 2, kvh] f32
-    pool_in_ref,  # ANY [N, ps, 2*kvh, hd] (aliased)
-    scale_in_ref,  # ANY [N, 2, ps, kvh] (aliased)
-    pool_out_ref,  # ANY (= pool_in)
-    scale_out_ref,  # ANY (= scale_in)
-    sem,
-    sem2,
-):
-    i = pl.program_id(0)
-    row, off = rows_ref[i], offs_ref[i]
-    copy = pltpu.make_async_copy(
-        kv_new_ref.at[0], pool_out_ref.at[row, off], sem
-    )
-    copy.start()
-    # scale row [2, kvh] lands at [row, :, off, :]
-    copy2 = pltpu.make_async_copy(
-        scale_new_ref.at[0], scale_out_ref.at[row, :, off], sem2
-    )
-    copy2.start()
-    copy.wait()
-    copy2.wait()
-
-
 def pallas_store_kv(
     kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
     rows: jax.Array,  # [T] i32
     offs: jax.Array,  # [T] i32
     kv_new: jax.Array,  # [T, 2*kvh, hd]
     *,
-    kv_scale: jax.Array | None = None,  # [N, 2, ps, kvh]
-    scale_new: jax.Array | None = None,  # [T, 2, kvh]
     interpret: bool = False,
 ):
     T, kvh2, hd = kv_new.shape
-    kvh = kvh2 // 2
-    if kv_scale is None:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, kvh2, hd), lambda i, rows, offs: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA],
-        )
-        return pl.pallas_call(
-            _store_kernel,
-            out_shape=jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
-            grid_spec=grid_spec,
-            # operand order: rows, offs (prefetch), kv_new, pool — pool is
-            # operand 3 and aliases output 0 (in-place through the scan carry)
-            input_output_aliases={3: 0},
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(rows, offs, kv_new.astype(kv_pool.dtype), kv_pool)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, kvh2, hd), lambda i, rows, offs: (i, 0, 0)),
-            pl.BlockSpec((1, 2, kvh), lambda i, rows, offs: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
-        _store_kernel_scaled,
-        out_shape=[
-            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
-            jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),
-        ],
+        _store_kernel,
+        out_shape=jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
         grid_spec=grid_spec,
-        # operands: rows, offs, kv_new, scale_new, pool, scales
-        input_output_aliases={4: 0, 5: 1},
+        # operand order: rows, offs (prefetch), kv_new, pool — pool is
+        # operand 3 and aliases output 0 (in-place through the scan carry)
+        input_output_aliases={3: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, offs, kv_new, scale_new, kv_pool, kv_scale)
+    )(rows, offs, kv_new.astype(kv_pool.dtype), kv_pool)

@@ -52,6 +52,11 @@ def _score_one(
     kvh = model.dims.kv_heads_eff
     hd = model.cfg.head_dim
     n_rows = (pages_cap + 1) * L
+    from minisgl_tpu.ops.kv import SCALE_P_LANES
+
+    tp = mesh.tp_size
+    kvh_local = kvh // tp if kvh % tp == 0 else kvh
+    scaled = kv_dtype == jnp.int8
     kv = KV(
         data=jax.device_put(
             jnp.zeros((n_rows, page_size, 2 * kvh, hd), kv_dtype),
@@ -61,12 +66,28 @@ def _score_one(
         ),
         scale=(
             jax.device_put(
-                jnp.full((n_rows, 2, page_size, kvh), 1e-8, jnp.float32),
+                jnp.full(
+                    (n_rows, 2, tp * page_size * kvh_local),
+                    1e-8,
+                    jnp.float32,
+                ),
                 mesh.sharding(
-                    jax.sharding.PartitionSpec(None, None, None, MODEL_AXIS)
+                    jax.sharding.PartitionSpec(None, None, MODEL_AXIS)
                 ),
             )
-            if kv_dtype == jnp.int8
+            if scaled
+            else None
+        ),
+        scale_p=(
+            jax.device_put(
+                jnp.zeros(
+                    (n_rows, page_size, tp * SCALE_P_LANES), jnp.float32
+                ),
+                mesh.sharding(
+                    jax.sharding.PartitionSpec(None, None, MODEL_AXIS)
+                ),
+            )
+            if scaled
             else None
         ),
     )
@@ -99,7 +120,12 @@ def _score_one(
         scale=(
             None
             if kv.scale is None
-            else jax.sharding.PartitionSpec(None, None, None, MODEL_AXIS)
+            else jax.sharding.PartitionSpec(None, None, MODEL_AXIS)
+        ),
+        scale_p=(
+            None
+            if kv.scale_p is None
+            else jax.sharding.PartitionSpec(None, None, MODEL_AXIS)
         ),
     )
 

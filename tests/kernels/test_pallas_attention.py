@@ -25,9 +25,10 @@ HD = 128 if not _interpret() else 32
 PS = 4  # page size
 
 
-def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16, int8=False):
+def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16, int8=False, ps=None):
     """seqs: list of (q_len, kv_len). Builds padded metadata + pool the way
     engine/batch_builder does, with q segments aligned to BQ."""
+    PS = ps or globals()["PS"]
     B = len(seqs)
     N = B * pages_cap + 1
     raw = rng.standard_normal((N, PS, 2 * kvh, HD)).astype(np.float32)
@@ -35,11 +36,20 @@ def _mk_case(rng, seqs, Hq, kvh, BQ, pages_cap=16, int8=False):
         amax = np.abs(raw).max(axis=-1)  # [N, PS, 2kvh]
         sc = np.maximum(amax, 1e-8) / 127.0
         qdata = np.clip(np.rint(raw / sc[..., None]), -127, 127).astype(np.int8)
-        # [N, PS, 2kvh] -> [N, 2, PS, kvh] plane-major scale layout
-        sc = sc.reshape(N, PS, 2, kvh).transpose(0, 2, 1, 3)
-        kv_pool = KV(jnp.asarray(qdata), jnp.asarray(sc, jnp.float32))
+        # flat decode sidecar [N, 2, PS*kvh] (lane = off*kvh + h) and
+        # prefill sidecar [N, PS, 128] (head scales in lanes) — ops/kv.py
+        flat = sc.reshape(N, PS, 2, kvh).transpose(0, 2, 1, 3).reshape(
+            N, 2, PS * kvh
+        )
+        sc_p = np.zeros((N, PS, 128), np.float32)
+        sc_p[:, :, : 2 * kvh] = sc
+        kv_pool = KV(
+            jnp.asarray(qdata),
+            jnp.asarray(flat, jnp.float32),
+            jnp.asarray(sc_p),
+        )
     else:
-        kv_pool = KV(jnp.asarray(raw, jnp.float32), None)
+        kv_pool = KV(jnp.asarray(raw, jnp.float32))
 
     page_table = np.zeros((B, pages_cap), np.int32)
     seq_lens = np.zeros((B,), np.int32)
@@ -147,41 +157,97 @@ def test_long_multi_chunk():
 
 
 def _dequant(kv: KV) -> KV:
-    data, sc = kv
+    data, sc = kv.data, kv.scale
     N, PS_, kvh2, _ = data.shape
     kvh = kvh2 // 2
-    sc_full = np.asarray(sc).transpose(0, 2, 1, 3).reshape(N, PS_, kvh2)
+    sc_full = (
+        np.asarray(sc)
+        .reshape(N, 2, PS_, kvh)
+        .transpose(0, 2, 1, 3)
+        .reshape(N, PS_, kvh2)
+    )
     return KV(
-        jnp.asarray(np.asarray(data, np.float32) * sc_full[..., None]), None
+        jnp.asarray(np.asarray(data, np.float32) * sc_full[..., None])
     )
 
 
+# the pallas FLAT decode path requires ps * kvh % 128 == 0 on real
+# hardware, and kvh % 4 == 0 for the int8 K/V plane-split DMA; other
+# geometries auto-fall back to the general kernel (pallas_backend.py)
+PS_INT8 = PS if _interpret() else 64
+
+
 def test_int8_kv_decode_parity():
+    """kvh=2 is NOT 4-aligned: int8 decode takes the general-kernel
+    fallback (whole-page DMA + prefill-sidecar dequant)."""
     rng = np.random.default_rng(6)
     seqs = [(1, 3), (1, 29), (1, 64)]
-    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=1, int8=True)
+    q, kv, meta = _mk_case(
+        rng, seqs, Hq=4, kvh=2, BQ=1, int8=True, ps=PS_INT8
+    )
     scale = HD**-0.5
     got = pallas_ragged_paged_attention(
         q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
         interpret=_interpret(),
     )
-    want = xla_paged_attention(q, _dequant(kv), meta, PS, scale)
+    want = xla_paged_attention(q, _dequant(kv), meta, PS_INT8, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
     # the xla backend's own int8 path must agree too
-    want2 = xla_paged_attention(q, kv, meta, PS, scale)
+    want2 = xla_paged_attention(q, kv, meta, PS_INT8, scale)
     np.testing.assert_allclose(np.asarray(want2), np.asarray(want), **TOL)
+
+
+def test_int8_kv_decode_flat_parity():
+    """kvh=8 (sublane-tile aligned) with ps*kvh % 128 == 0: the FLAT
+    decode kernel with score-row dequant from the flat sidecar."""
+    rng = np.random.default_rng(16)
+    ps = PS if _interpret() else 16  # 16 * 8 = 128 lanes
+    seqs = [(1, 3), (1, 29), (1, 64)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=16, kvh=8, BQ=1, int8=True, ps=ps)
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    want = xla_paged_attention(q, _dequant(kv), meta, ps, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+def test_bf16_odd_kvh_decode_parity():
+    """kvh=1 bf16 is not 2-aligned for the plane split: decode must take
+    the general-kernel fallback (latent high-TP geometry, kvh_local=1).
+    The f32 pool variant of the same geometry (packing 1) keeps the flat
+    kernel — both must agree with the XLA reference."""
+    rng = np.random.default_rng(17)
+    seqs = [(1, 7), (1, 33)]
+    scale = HD**-0.5
+    for cast in (jnp.bfloat16, jnp.float32):
+        q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=1, BQ=1)
+        # round through the storage dtype so pallas and the f32 XLA
+        # reference see identical values
+        kv = KV(kv.data.astype(cast).astype(jnp.float32))
+        got = pallas_ragged_paged_attention(
+            q, KV(kv.data.astype(cast)), meta, scale=scale, block_q=1,
+            pages_per_chunk=2, interpret=_interpret(),
+        )
+        want = xla_paged_attention(q, kv, meta, PS, scale)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
 
 
 def test_int8_kv_prefill_parity():
     rng = np.random.default_rng(7)
     seqs = [(24, 24), (10, 40)]
-    q, kv, meta = _mk_case(rng, seqs, Hq=4, kvh=2, BQ=8, int8=True)
+    q, kv, meta = _mk_case(
+        rng, seqs, Hq=4, kvh=2, BQ=8, int8=True, ps=PS_INT8
+    )
     scale = HD**-0.5
     got = pallas_ragged_paged_attention(
         q, kv, meta, scale=scale, block_q=8, pages_per_chunk=2,
         interpret=_interpret(),
     )
-    want = xla_paged_attention(q, _dequant(kv), meta, PS, scale)
+    want = xla_paged_attention(q, _dequant(kv), meta, PS_INT8, scale)
     real = np.asarray(meta.q_req_ids) >= 0
     np.testing.assert_allclose(
         np.asarray(got)[real], np.asarray(want)[real], **TOL
