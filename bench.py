@@ -60,6 +60,8 @@ def main() -> None:
         cache_type="radix",
         decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "8")),
         attention_backend=os.environ.get("BENCH_ATTN_BACKEND", "auto"),
+        kv_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
+        quantization=os.environ.get("BENCH_QUANT", "none"),
     )
     # Warmup pass: the SAME workload shape with different random prompts,
     # so every (phase, bucket) executable the timed pass needs is already
@@ -92,6 +94,16 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "tok/s",
                 "vs_baseline": None,
+                # round-over-round comparability (VERDICT weak #8): the
+                # timed pass runs entirely warm (same-shape warmup
+                # workload above), and the prefill/decode split makes a
+                # decode regression visible even when totals move
+                "state": "warm",
+                "prefill_tokens": total_in,
+                "decode_tokens": total_out,
+                "decode_tok_s": round(total_out / elapsed, 1),
+                "elapsed_s": round(elapsed, 2),
+                "kv_dtype": os.environ.get("BENCH_KV_DTYPE", "auto"),
             }
         )
     )

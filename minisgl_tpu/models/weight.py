@@ -133,9 +133,10 @@ def init_dummy_params(
         if info.init is not None:
             arr = jnp.asarray(info.init(), dtype=info.dtype)
         elif info.quant in ("int8", "int4"):
+            # draw int8 directly: an int64 staging array would be 8x the
+            # stored size (hundreds of GB at 70B-geometry)
             arr = jnp.asarray(
-                rng.integers(-127, 128, info.stored_shape, dtype=np.int64),
-                dtype=jnp.int8,
+                rng.integers(-127, 128, info.stored_shape, dtype=np.int8)
             )
         elif info.scale_of is not None:
             # int8: amax/127; int4 grouped: amax/7 — same 0.02 amax stand-in

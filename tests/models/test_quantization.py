@@ -142,8 +142,9 @@ def nll_fp(tiny_model_dir, nll_seqs):
         (dict(quantization="w8a8"), 0.10),
         (dict(quantization="int4"), 0.10),
         (dict(kv_dtype="fp8"), 0.10),
+        (dict(kv_dtype="int8"), 0.10),
     ],
-    ids=["int8", "w8a8", "int4", "fp8kv"],
+    ids=["int8", "w8a8", "int4", "fp8kv", "int8kv"],
 )
 def test_ppl_gate(tiny_model_dir, nll_seqs, nll_fp, mode, bound):
     """BASELINE north star: quantized ppl within delta of full precision."""
