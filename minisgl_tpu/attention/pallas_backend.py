@@ -274,6 +274,8 @@ def _decode_kernel(
         bound = jnp.minimum(kv_len, pos + 1)
         num_chunks = pl.cdiv(bound, Tc)
 
+        use_scale = has_scale and diag != "noscale"
+
         def start_dma(row, slot, ci):
             for j in range(CP):
                 page = pt_ref[row, ci * CP + j]
@@ -287,7 +289,7 @@ def _decode_kernel(
                     v_buf.at[slot, j],
                     sems.at[slot, j, 1],
                 ).start()
-                if has_scale:
+                if use_scale:
                     pltpu.make_async_copy(
                         sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
                     ).start()
@@ -304,7 +306,7 @@ def _decode_kernel(
                     v_buf.at[slot, j],
                     sems.at[slot, j, 1],
                 ).wait()
-                if has_scale:
+                if use_scale:
                     pltpu.make_async_copy(
                         sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
                     ).wait()
@@ -369,7 +371,7 @@ def _decode_kernel(
                 q_all, k_all, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Hq, W]
-            if has_scale:
+            if use_scale:
                 # int8 pool: per-(token, head) dequant lands on the [Hq, W]
                 # scores/probs — hd x less work than scaling the KV data.
                 # Each page's sidecar row is already in flat (token, head)
@@ -397,7 +399,7 @@ def _decode_kernel(
             p = jnp.exp(s - m_new)  # zero off own-head columns
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            if has_scale:
+            if use_scale:
                 p = p * scv
             pv = jax.lax.dot_general(
                 p.astype(q_ref.dtype), v_all.astype(q_ref.dtype),
