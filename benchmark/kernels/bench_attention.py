@@ -27,13 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from minisgl_tpu.attention.metadata import AttnMetadata
-from minisgl_tpu.benchmark.perf import report, time_fn
+from minisgl_tpu.benchmark.perf import report, time_fn, time_fn_chained
+from minisgl_tpu.ops.kv import KV
 
 
 def make_case(B, kv_len, q_len, Hq, kvh, hd, ps, pages_cap, q_align, dtype):
     rng = np.random.default_rng(0)
     N = B * pages_cap + 1
-    kv = jnp.asarray(rng.standard_normal((N, ps, 2 * kvh, hd)), dtype)
+    kv = KV(
+        data=jnp.asarray(rng.standard_normal((N, ps, 2 * kvh, hd)), dtype)
+    )
     pt = np.zeros((B, pages_cap), np.int32)
     pos_l, qr_l, cu = [], [], [0]
     for b in range(B):
@@ -88,6 +91,12 @@ def main():
     p.add_argument("--hd", type=int, default=128)
     p.add_argument("--ps", type=int, default=16)
     p.add_argument("--cp", type=int, default=8, help="pages per DMA chunk (pallas)")
+    p.add_argument(
+        "--device-timed",
+        action="store_true",
+        help="use block_until_ready timing (UNTRUSTWORTHY through the axon "
+        "tunnel; default is chained-scan wall clock)",
+    )
     args = p.parse_args()
     Hq, kvh, hd, ps = args.hq, args.kvh, args.hd, args.ps
     itemsize = 2  # bf16
@@ -108,10 +117,14 @@ def main():
                 B, kv_len, q_len, Hq, kvh, hd, ps, pages_cap, q_align,
                 jnp.bfloat16,
             )
-            impl = jax.jit(get_impl(backend, hd, ps, phase, args.cp))
+            impl = get_impl(backend, hd, ps, phase, args.cp)
             kv_bytes = B * kv_len * 2 * kvh * hd * itemsize
             try:
-                sec = time_fn(lambda: impl(qa, kv, meta))
+                if args.device_timed:
+                    jimpl = jax.jit(impl)
+                    sec = time_fn(lambda: jimpl(qa, kv, meta))
+                else:
+                    sec = time_fn_chained(impl, qa, kv, meta)
             except Exception as e:
                 print(f"{name} [{backend}]: FAILED {type(e).__name__}")
                 continue

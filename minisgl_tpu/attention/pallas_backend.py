@@ -234,6 +234,7 @@ def _decode_kernel(
     pages_per_chunk: int,
     diag: str = "",
     has_scale: bool = False,
+    plane_major_ps: int = 0,
 ):
     if has_scale:
         (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
@@ -259,8 +260,13 @@ def _decode_kernel(
     b = pl.program_id(0)
     CP = pages_per_chunk
     _, Hq, hd = q_ref.shape
-    ps = k_buf.shape[2]
-    kvh = k_buf.shape[3]
+    if plane_major_ps:
+        # plane-major pool [N, 2, ps*kvh, hd]: k_buf is [2, CP, ps*kvh, hd]
+        ps = plane_major_ps
+        kvh = k_buf.shape[2] // ps
+    else:
+        ps = k_buf.shape[2]
+        kvh = k_buf.shape[3]
     G = Hq // kvh
     Tc = CP * ps
     W = Tc * kvh  # flattened width; col c = token c//kvh, kv head c%kvh
@@ -276,18 +282,23 @@ def _decode_kernel(
 
         use_scale = has_scale and diag != "noscale"
 
+        if plane_major_ps:
+            # contiguous per-plane page rows: one straight-line DMA each
+            k_src = lambda page: kv_hbm.at[page, 0]
+            v_src = lambda page: kv_hbm.at[page, 1]
+        else:
+            # head-blocked layout: each plane is a strided second-minor slice
+            k_src = lambda page: kv_hbm.at[page, :, 0:kvh, :]
+            v_src = lambda page: kv_hbm.at[page, :, kvh : 2 * kvh, :]
+
         def start_dma(row, slot, ci):
             for j in range(CP):
                 page = pt_ref[row, ci * CP + j]
                 pltpu.make_async_copy(
-                    kv_hbm.at[page, :, 0:kvh, :],
-                    k_buf.at[slot, j],
-                    sems.at[slot, j, 0],
+                    k_src(page), k_buf.at[slot, j], sems.at[slot, j, 0]
                 ).start()
                 pltpu.make_async_copy(
-                    kv_hbm.at[page, :, kvh : 2 * kvh, :],
-                    v_buf.at[slot, j],
-                    sems.at[slot, j, 1],
+                    v_src(page), v_buf.at[slot, j], sems.at[slot, j, 1]
                 ).start()
                 if use_scale:
                     pltpu.make_async_copy(
@@ -297,14 +308,10 @@ def _decode_kernel(
         def wait_dma(slot):
             for j in range(CP):
                 pltpu.make_async_copy(
-                    kv_hbm.at[0, :, 0:kvh, :],
-                    k_buf.at[slot, j],
-                    sems.at[slot, j, 0],
+                    k_src(0), k_buf.at[slot, j], sems.at[slot, j, 0]
                 ).wait()
                 pltpu.make_async_copy(
-                    kv_hbm.at[0, :, kvh : 2 * kvh, :],
-                    v_buf.at[slot, j],
-                    sems.at[slot, j, 1],
+                    v_src(0), v_buf.at[slot, j], sems.at[slot, j, 1]
                 ).wait()
                 if use_scale:
                     pltpu.make_async_copy(
@@ -418,6 +425,167 @@ def _decode_kernel(
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_kernel_fused(
+    # scalar prefetch (same order as _attn_kernel)
+    cu_q_blocks_ref,
+    kv_lens_ref,
+    num_seqs_ref,
+    pt_ref,
+    # then positionally: q_ref [1, Hq, hd], pos_ref [1, 1, 1],
+    # qrid_ref [1, 1, 1], kv_hbm ANY [N, ps*2kvh, hd] (page rows flattened),
+    # (sc_hbm ANY [N, 1, ps*2kvh] interleaved scale sidecar — int8 only),
+    # output o_ref [1, Hq, hd],
+    # scratch kv_buf [2, CP, ps*2kvh, hd], sems [2, CP], par_ref SMEM [1],
+    # (sc_buf [2, CP, 1, ps*2kvh], sc_sems [2, CP] — int8 only)
+    *refs,
+    scale: float,
+    pages_per_chunk: int,
+    kvh: int,
+    has_scale: bool = False,
+):
+    """Whole-page decode kernel: ONE contiguous DMA per page, both planes.
+
+    The split-plane kernel (_decode_kernel) issues 2 strided DMAs per page
+    (each internally ps separate 2KB runs) and its VMEM buffers' (kvh, hd)
+    minor dims are sub-tile for bf16/int8. Here the pool page row is DMA'd
+    whole — [ps*2kvh, hd] is contiguous in HBM and a whole number of Mosaic
+    tiles for EVERY pool dtype and ANY kvh (so high-TP kvh_local geometries
+    keep the flat formulation). Scores are one [Hq, hd] x [hd, W2] dot over
+    BOTH planes; the head/plane mask -inf's V columns and foreign kv heads,
+    and the probability mass is moved K-column -> V-column with a cyclic
+    lane roll by kvh (col order t*2kvh + s puts each token's V slots kvh
+    lanes after its K slots), making p @ KV_flat exact. 2x redundant MXU
+    work on a ~2% utilized unit — free; DMA descriptor count is halved and
+    every transfer is a single linear burst.
+    """
+    if has_scale:
+        (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
+         o_ref, kv_buf, sems, par_ref, sc_buf, sc_sems) = refs
+    else:
+        (q_ref, pos_ref, qrid_ref, kv_hbm,
+         o_ref, kv_buf, sems, par_ref) = refs
+        sc_hbm = sc_buf = sc_sems = None
+    b = pl.program_id(0)
+    CP = pages_per_chunk
+    _, Hq, hd = q_ref.shape
+    R = kv_buf.shape[2]  # ps * 2 * kvh rows per page
+    ps = R // (2 * kvh)
+    G = Hq // kvh
+    Tc = CP * ps
+    W2 = CP * R  # both-plane width; col c = token c//(2kvh), slot c%(2kvh)
+
+    run = b < num_seqs_ref[0]
+
+    @pl.when(run)
+    def _():
+        kv_len = kv_lens_ref[b]
+        pos = pos_ref[0, 0, 0]
+        bound = jnp.minimum(kv_len, pos + 1)
+        num_chunks = pl.cdiv(bound, Tc)
+
+        def start_dma(row, slot, ci):
+            for j in range(CP):
+                page = pt_ref[row, ci * CP + j]
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).start()
+
+        def wait_dma(slot):
+            for j in range(CP):
+                pltpu.make_async_copy(
+                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+                if has_scale:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                    ).wait()
+
+        @pl.when(b == 0)
+        def _():
+            par_ref[0] = 0
+            start_dma(0, 0, 0)
+
+        p0 = par_ref[0]
+        valid = qrid_ref[0, 0, 0] == b
+
+        q_f = q_ref[0].astype(jnp.float32) * scale  # [Hq, hd]
+        q_all = q_f.astype(q_ref.dtype)
+
+        # static masks: keep K columns (slot s < kvh) of the OWN kv head
+        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (Hq, W2), 0) // G
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (Hq, W2), 1) % (2 * kvh)
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (Hq, W2), 1) // (2 * kvh)
+        k_ok = (col_s == row_kvh) & valid
+        amask = jnp.where(k_ok, 0.0, _NEG_INF)  # [Hq, W2] f32
+
+        def chunk_body(ci, carry):
+            m, l, acc = carry
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                start_dma(b, (p0 + ci + 1) % 2, ci + 1)
+
+            @pl.when(
+                jnp.logical_and(
+                    ci + 1 == num_chunks, b + 1 < num_seqs_ref[0]
+                )
+            )
+            def _():
+                start_dma(b + 1, (p0 + ci + 1) % 2, 0)
+
+            slot = (p0 + ci) % 2
+            wait_dma(slot)
+            kv_all = kv_buf[slot].reshape(W2, hd)
+            if kv_all.dtype != q_ref.dtype:
+                kv_all = kv_all.astype(q_ref.dtype)
+
+            s = jax.lax.dot_general(
+                q_all, kv_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, W2]
+            if has_scale:
+                sc_row = jnp.concatenate(
+                    [sc_buf[slot, j] for j in range(CP)], axis=1
+                )  # [1, W2]; lane c = scale of (token, slot) col c
+                s = s * sc_row
+            s = s + amask
+            s = jax.lax.cond(
+                ci + 1 == num_chunks,
+                lambda s: jnp.where(ci * Tc + col_t < bound, s, _NEG_INF),
+                lambda s: s,
+                s,
+            )
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # nonzero only at own-head K columns
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            # move each token's probability from its K column to its V
+            # column (kvh lanes later); V-column zeros roll harmlessly into
+            # the next token's K slots
+            p_v = pltpu.roll(p, kvh, 1)
+            if has_scale:
+                p_v = p_v * sc_row
+            pv = jax.lax.dot_general(
+                p_v.astype(q_ref.dtype), kv_all,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, hd]; zero weight on K rows makes this exact
+            return m_new, l_new, acc * alpha + pv
+
+        init = (
+            jnp.full((Hq, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((Hq, 1), jnp.float32),
+            jnp.zeros((Hq, hd), jnp.float32),
+        )
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
+        par_ref[0] = (p0 + num_chunks) % 2
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def pallas_ragged_paged_attention(
     q: jax.Array,  # [T, Hq, hd]
     kv,  # ops.kv.KV: pool [N, ps, 2*kvh, hd] (+ int8 scale sidecar)
@@ -427,26 +595,52 @@ def pallas_ragged_paged_attention(
     block_q: int,
     pages_per_chunk: int = 8,
     interpret: bool = False,
+    plane_major_ps: int = 0,
+    fused_page: bool = False,
 ) -> jax.Array:
     kv_pool = kv.data
     T, Hq, hd = q.shape
-    N, ps, kvh2, _ = kv_pool.shape
-    # The flat decode kernel DMAs the K and V PLANES of each page separately
-    # (kv_hbm.at[page, :, 0:kvh, :]): a slice along the pool's second-minor
-    # dim, which Mosaic only lowers when offset/size land on its sublane
-    # tile for that dim. Measured on v5e: f32 slices at any kvh lower fine;
-    # bf16/int8 need kvh % 8 == 0 (int8 kvh=4 is rejected with "must be
-    # aligned to tiling (8)"). Misaligned geometries (e.g. small kvh_local
-    # at high TP) take the general kernel, which DMAs whole pages and
-    # splits in VMEM.
-    sub = 1 if jnp.dtype(kv_pool.dtype).itemsize == 4 else 8
-    use_flat_decode = block_q == 1 and (kvh2 // 2) % sub == 0
-    # the two kernels consume different sidecar layouts (ops/kv.py): flat
+    if fused_page:
+        # whole-page kernel (_decode_kernel_fused): flatten page rows; the
+        # reshape of a contiguous [N, ps, 2kvh, hd] pool is a free bitcast
+        assert block_q == 1, "fused-page kernel is decode-only"
+        N, ps, kvh2, _ = kv_pool.shape
+        kv_pool = kv_pool.reshape(N, ps * kvh2, hd)
+        use_flat_decode = True
+    elif plane_major_ps:
+        # plane-major flattened pool [N, 2, ps*kvh, hd]: K/V planes are
+        # contiguous page rows and the VMEM buffers' minor dims (ps*kvh, hd)
+        # are whole Mosaic tiles for every pool dtype (decode path only)
+        assert block_q == 1, "plane-major pool supports decode only"
+        N, _two, S, _ = kv_pool.shape
+        assert _two == 2 and S % plane_major_ps == 0, kv_pool.shape
+        ps = plane_major_ps
+        kvh2 = 2 * (S // ps)
+        use_flat_decode = True
+    else:
+        N, ps, kvh2, _ = kv_pool.shape
+        # The flat decode kernel DMAs the K and V PLANES of each page
+        # separately (kv_hbm.at[page, :, 0:kvh, :]): a slice along the pool's
+        # second-minor dim, which Mosaic only lowers when offset/size land on
+        # its sublane tile for that dim. Measured on v5e: f32 slices at any
+        # kvh lower fine; bf16/int8 need kvh % 8 == 0 (int8 kvh=4 is rejected
+        # with "must be aligned to tiling (8)"). Misaligned geometries (e.g.
+        # small kvh_local at high TP) take the general kernel, which DMAs
+        # whole pages and splits in VMEM.
+        sub = 1 if jnp.dtype(kv_pool.dtype).itemsize == 4 else 8
+        use_flat_decode = block_q == 1 and (kvh2 // 2) % sub == 0
+    # the kernels consume different sidecar layouts (ops/kv.py): flat
     # decode scales the flattened score row, the general kernel dequantizes
-    # the K/V chunk data via the 128-lane prefill sidecar
+    # the K/V chunk data via the 128-lane prefill sidecar, and the fused
+    # whole-page kernel wants the interleaved [N, 1, ps*2kvh] row
     kv_scale = kv.scale if use_flat_decode else kv.scale_p
     has_scale = kv_scale is not None
-    if has_scale and use_flat_decode and not interpret:
+    if fused_page and has_scale:
+        assert kv_scale.ndim == 3 and kv_scale.shape[1] == 1, (
+            "fused-page kernel needs the interleaved scale sidecar "
+            "[N, 1, page_size*2*kvh]", kv_scale.shape,
+        )
+    elif has_scale and use_flat_decode and not interpret:
         SW = kv_scale.shape[-1]
         assert SW % 128 == 0, (
             f"int8 KV with the pallas decode kernel needs page_size * "
@@ -493,9 +687,26 @@ def pallas_ragged_paged_attention(
                 _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
         ),
         scratch_shapes=(
-            [  # decode: split K/V planes (see _decode_kernel)
-                pltpu.VMEM((2, CP, ps, kvh2 // 2, hd), kv_pool.dtype),
-                pltpu.VMEM((2, CP, ps, kvh2 // 2, hd), kv_pool.dtype),
+            [  # fused-page decode: one whole-page buffer (tile-exact for
+                # every dtype: minor dims (ps*2kvh, hd))
+                pltpu.VMEM((2, CP) + kv_pool.shape[1:], kv_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, CP)),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
+            if fused_page
+            else [  # decode: split K/V planes (see _decode_kernel)
+                pltpu.VMEM(
+                    (2, CP, ps * (kvh2 // 2), hd)
+                    if plane_major_ps
+                    else (2, CP, ps, kvh2 // 2, hd),
+                    kv_pool.dtype,
+                ),
+                pltpu.VMEM(
+                    (2, CP, ps * (kvh2 // 2), hd)
+                    if plane_major_ps
+                    else (2, CP, ps, kvh2 // 2, hd),
+                    kv_pool.dtype,
+                ),
                 pltpu.SemaphoreType.DMA((2, CP, 2)),
                 pltpu.SMEM((1,), jnp.int32),
             ]
@@ -527,7 +738,15 @@ def pallas_ragged_paged_attention(
         [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
     ).reshape(n_blocks + 1, BQ, 1)
 
-    if use_flat_decode:
+    if fused_page:
+        kernel = functools.partial(
+            _decode_kernel_fused,
+            scale=scale,
+            pages_per_chunk=CP,
+            kvh=kvh2 // 2,
+            has_scale=has_scale,
+        )
+    elif use_flat_decode:
         import os
 
         kernel = functools.partial(
@@ -536,6 +755,7 @@ def pallas_ragged_paged_attention(
             pages_per_chunk=CP,
             diag=os.environ.get("MSLT_DECODE_DIAG", ""),
             has_scale=has_scale,
+            plane_major_ps=plane_major_ps,
         )
     else:
         kernel = functools.partial(

@@ -34,6 +34,38 @@ def time_fn(
     return times[len(times) // 2]
 
 
+def time_fn_chained(
+    impl: Callable,
+    q: jax.Array,
+    *args,
+    iters: int = 50,
+    repeat: int = 3,
+) -> float:
+    """Seconds per call of ``impl(q, *args)``, measured by chaining ``iters``
+    calls (output feeds the next call's ``q``) inside ONE jitted lax.scan and
+    wall-clocking dispatch + host fetch. On tunneled devices
+    ``block_until_ready`` returns early, making ``time_fn`` wildly optimistic
+    (BENCHLOG round 1) — a host fetch of a value data-dependent on every call
+    is the only trustworthy fence. Requires impl's output to have q's shape."""
+    import numpy as np
+
+    @jax.jit
+    def chain(q0):
+        def body(qc, _):
+            return impl(qc, *args).astype(qc.dtype), ()
+
+        q_fin, _ = jax.lax.scan(body, q0, None, length=iters)
+        return q_fin
+
+    np.asarray(chain(q))  # compile + warm
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        np.asarray(chain(q))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def report(
     name: str,
     seconds: float,

@@ -213,6 +213,46 @@ def test_int8_kv_decode_flat_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
 
 
+def _to_plane_major(kv: KV) -> KV:
+    """[N, ps, 2kvh, hd] -> [N, 2, ps*kvh, hd] (row t*kvh + h per plane)."""
+    d = np.asarray(kv.data)
+    N, ps, kvh2, hd = d.shape
+    kvh = kvh2 // 2
+    flat = np.stack(
+        [
+            d[:, :, :kvh, :].reshape(N, ps * kvh, hd),
+            d[:, :, kvh:, :].reshape(N, ps * kvh, hd),
+        ],
+        axis=1,
+    )
+    return KV(jnp.asarray(flat), kv.scale, kv.scale_p)
+
+
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8"])
+def test_plane_major_decode_parity(int8):
+    """The experimental plane-major pool layout [N, 2, ps*kvh, hd] must be
+    token-exact with the head-blocked layout (measured perf-neutral on v5e —
+    benchmark/kernels/bench_decode_layout.py — but it lifts the kvh sublane
+    alignment requirement, so it is the escape hatch for high-TP kvh_local
+    geometries)."""
+    rng = np.random.default_rng(23)
+    ps = PS if _interpret() else 16
+    seqs = [(1, 3), (1, 29), (1, 64)]
+    q, kv, meta = _mk_case(
+        rng, seqs, Hq=16, kvh=8, BQ=1, int8=int8, ps=ps
+    )
+    scale = HD**-0.5
+    base = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    got = pallas_ragged_paged_attention(
+        q, _to_plane_major(kv), meta, scale=scale, block_q=1,
+        pages_per_chunk=2, interpret=_interpret(), plane_major_ps=ps,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), **TOL)
+
+
 def test_bf16_odd_kvh_decode_parity():
     """kvh=1 bf16 is not 2-aligned for the plane split: decode must take
     the general-kernel fallback (latent high-TP geometry, kvh_local=1).
