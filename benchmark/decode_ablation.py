@@ -170,7 +170,8 @@ def main() -> None:
         "k1",
         "smallpool",
     ]
-    pool_variants = [v for v in variants if v != "smallpool"]
+    # smallpool/int8kv build their own engines below
+    pool_variants = [v for v in variants if v not in ("smallpool", "int8kv")]
 
     if pool_variants:
         engine = Engine(

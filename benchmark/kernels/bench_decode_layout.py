@@ -52,7 +52,7 @@ REPEAT = 3
 
 def make_case(dtype, layout: str, scaled: bool):
     rng = np.random.default_rng(0)
-    pages_per_seq = KV_LEN // PS
+    pages_per_seq = -(-KV_LEN // PS)
     pages_cap = 1 << (pages_per_seq - 1).bit_length()
     assert B * pages_per_seq < N_PAGES
     # scattered (shuffled) page ids: decode reads are non-contiguous in HBM

@@ -291,8 +291,25 @@ def _decode_kernel(
             k_src = lambda page: kv_hbm.at[page, :, 0:kvh, :]
             v_src = lambda page: kv_hbm.at[page, :, kvh : 2 * kvh, :]
 
+        # Last-chunk DMA gating: chunk quantization would otherwise round
+        # every sequence's reads up to Tc tokens (at Tc=512 a 513-token
+        # sequence reads 1024 — the e2e regression that sank page_size 128
+        # on first try). Gate each page's copies on the sequence's true page
+        # count; start/wait guards match exactly, so semaphores stay
+        # balanced. Slope-timed A/B (BENCHLOG round 2): wins at page_size
+        # 128 (a gated page skips 64KB), LOSES at 16 (per-page scalar
+        # branch costs more than a 2KB-run DMA — the round-1 revert) — so
+        # gating is static on page size. Decode positions are seq_len-1, so
+        # kv_len alone bounds the page count.
+        gate_dma = ps >= 64
+
+        def n_pages(row):
+            return (kv_lens_ref[row] + ps - 1) // ps
+
         def start_dma(row, slot, ci):
-            for j in range(CP):
+            np_r = n_pages(row)
+
+            def one(j):
                 page = pt_ref[row, ci * CP + j]
                 pltpu.make_async_copy(
                     k_src(page), k_buf.at[slot, j], sems.at[slot, j, 0]
@@ -302,11 +319,21 @@ def _decode_kernel(
                 ).start()
                 if use_scale:
                     pltpu.make_async_copy(
-                        sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                        sc_hbm.at[page],
+                        sc_buf.at[slot, j],
+                        sc_sems.at[slot, j],
                     ).start()
 
-        def wait_dma(slot):
             for j in range(CP):
+                if gate_dma:
+                    pl.when(ci * CP + j < np_r)(lambda j=j: one(j))
+                else:
+                    one(j)
+
+        def wait_dma(row, slot, ci):
+            np_r = n_pages(row)
+
+            def one(j):
                 pltpu.make_async_copy(
                     k_src(0), k_buf.at[slot, j], sems.at[slot, j, 0]
                 ).wait()
@@ -315,8 +342,16 @@ def _decode_kernel(
                 ).wait()
                 if use_scale:
                     pltpu.make_async_copy(
-                        sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
+                        sc_hbm.at[0],
+                        sc_buf.at[slot, j],
+                        sc_sems.at[slot, j],
                     ).wait()
+
+            for j in range(CP):
+                if gate_dma:
+                    pl.when(ci * CP + j < np_r)(lambda j=j: one(j))
+                else:
+                    one(j)
 
         # Cross-sequence prefetch: program b-1 already issued THIS program's
         # chunk 0 into slot par_ref[0] (and set the parity), hiding the DMA
@@ -325,6 +360,15 @@ def _decode_kernel(
         @pl.when(b == 0)
         def _():
             par_ref[0] = 0
+            if gate_dma:
+                # gating leaves never-written buffer regions; scratch VMEM
+                # starts as undefined bits that could be NaN, and 0 * NaN =
+                # NaN would poison the PV matmul (probabilities are zero at
+                # gated columns, V values must be finite). Zero once per
+                # call.
+                v_buf[...] = jnp.zeros(v_buf.shape, v_buf.dtype)
+                if use_scale:
+                    sc_buf[...] = jnp.zeros(sc_buf.shape, jnp.float32)
             start_dma(0, 0, 0)
 
         p0 = par_ref[0]
@@ -361,7 +405,7 @@ def _decode_kernel(
                 start_dma(b + 1, (p0 + ci + 1) % 2, 0)
 
             slot = (p0 + ci) % 2
-            wait_dma(slot)
+            wait_dma(b, slot, ci)
             k_all = k_buf[slot].reshape(W, hd)  # contiguous: free
             v_all = v_buf[slot].reshape(W, hd)
             if k_all.dtype != q_ref.dtype:  # int8/fp8 pool: native upcast
@@ -792,11 +836,23 @@ def pallas_ragged_paged_attention(
 QUERY_ALIGN = {"pallas": 64, "rpa": 1, "xla": 1}
 
 
+def default_pages_per_chunk(page_size: int, phase: str) -> int:
+    """Per-phase DMA chunk sizing (tokens per double-buffered chunk).
+
+    Slope-timed A/B on v5e (benchmark/kernels/bench_decode_layout.py,
+    BENCHLOG round 2): decode wants ~512-token chunks — at page_size 128,
+    cp=4 reads int8 KV at 599 GB/s vs 430 at cp=2 — while prefill keeps the
+    round-1-tuned 128-token chunks (its VMEM budget is dominated by the
+    [BQ, Hq, hd] query block and 2x wider whole-page buffers)."""
+    target = 512 if phase == "decode" else 128
+    return max(1, target // page_size)
+
+
 def make_pallas_attention(*, page_size: int, scale: float, phase: str):
     from minisgl_tpu.env import ENV
 
     block_q = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
-    cp = ENV.PAGES_PER_CHUNK
+    cp = ENV.PAGES_PER_CHUNK or default_pages_per_chunk(page_size, phase)
 
     def impl(q, kv, meta: AttnMetadata):
         return pallas_ragged_paged_attention(

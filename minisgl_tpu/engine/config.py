@@ -7,8 +7,12 @@ CUDA-specific knobs re-interpreted for TPU:
   padded decode batch sizes each compiled once by XLA (the jit-bucket
   replacement for CUDA-graph capture, reference graph.py:49-67).
 - ``use_pynccl`` -> gone: collectives are XLA ICI/DCN ops on the mesh.
-- page_size defaults to 16 (the reference uses 1; TPU paged attention wants
-  page-granular DMA blocks — MXU/VPU lane-aligned).
+- page_size defaults to 128 (the reference uses 1): on TPU the page is the
+  attention kernel's DMA granule, and the slope-timed sweep (BENCHLOG round
+  2) showed per-DMA fixed cost dominating below ~64KB transfers — 128-token
+  pages read bf16 KV at 91% of HBM peak and are what make int8 KV a 1.6x
+  win instead of a loss. Cost: up to page_size-1 wasted slots per request
+  and page-granular radix matching, both small at serving lengths.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ class EngineConfig:
     attention_backend: str = "auto"  # auto | pallas | xla
     moe_backend: str = "auto"
     max_decode_bs: Optional[int] = None
-    page_size: int = 16
+    page_size: int = 128
     memory_ratio: float = 0.9
     use_dummy_weight: bool = False
     max_seq_len_override: Optional[int] = None

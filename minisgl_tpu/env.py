@@ -58,8 +58,9 @@ class _Env:
     # memory_stats (e.g. tunneled devices). v5e default.
     HBM_GB = EnvField("HBM_GB", 16.0, float)
     # KV pages fetched per double-buffered DMA chunk in the Pallas attention
-    # kernel (A/B knob; e2e-measured default).
-    PAGES_PER_CHUNK = EnvField("PAGES_PER_CHUNK", 8, int)
+    # kernel (A/B knob). 0 = auto: per-phase token target / page_size
+    # (pallas_backend.default_pages_per_chunk).
+    PAGES_PER_CHUNK = EnvField("PAGES_PER_CHUNK", 0, int)
 
 
 ENV = _Env()

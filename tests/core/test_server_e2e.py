@@ -40,6 +40,9 @@ def server(tmp_path_factory):
             "--port", str(port), "--max-seq-len", "256",
             "--num-pages", "256", "--max-running-req", "8",
             "--attention-backend", "xla", "--num-tokenizers", "1",
+            # radix matching is page-granular; the metrics test's short
+            # repeated prompts need a fine page to produce a cache hit
+            "--page-size", "16",
         ],
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),

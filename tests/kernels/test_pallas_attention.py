@@ -253,6 +253,30 @@ def test_plane_major_decode_parity(int8):
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), **TOL)
 
 
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8"])
+def test_gated_dma_decode_parity(int8):
+    """page_size >= 64 enables last-chunk DMA gating (pages past the
+    sequence's true page count are never fetched). kv lens chosen so the
+    final chunk holds FEWER real pages than pages_per_chunk — the gated
+    region must contribute nothing (zero-init guards the 0*NaN hazard)."""
+    rng = np.random.default_rng(29)
+    ps = 64
+    # cap 4 pages x 64 = 256 max; np_r = 3 of CP=2x2 chunks, 1 page gated
+    seqs = [(1, 130), (1, 65), (1, 200)]
+    q, kv, meta = _mk_case(
+        rng, seqs, Hq=16, kvh=8, BQ=1, pages_cap=4, int8=int8, ps=ps
+    )
+    scale = HD**-0.5
+    got = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    ref_kv = _dequant(kv) if int8 else kv
+    want = xla_paged_attention(q, ref_kv, meta, ps, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
 def test_bf16_odd_kvh_decode_parity():
     """kvh=1 bf16 is not 2-aligned for the plane split: decode must take
     the general-kernel fallback (latent high-TP geometry, kvh_local=1).
