@@ -52,6 +52,9 @@ def main() -> None:
         for n in out_lens
     ]
 
+    kwargs = {}
+    if os.environ.get("BENCH_PAGE_SIZE"):
+        kwargs["page_size"] = int(os.environ["BENCH_PAGE_SIZE"])
     llm = LLM(
         MODEL,
         use_dummy_weight=True,
@@ -62,6 +65,7 @@ def main() -> None:
         attention_backend=os.environ.get("BENCH_ATTN_BACKEND", "auto"),
         kv_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
         quantization=os.environ.get("BENCH_QUANT", "none"),
+        **kwargs,
     )
     # Warmup pass: the SAME workload shape with different random prompts,
     # so every (phase, bucket) executable the timed pass needs is already

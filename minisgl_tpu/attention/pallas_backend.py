@@ -644,6 +644,21 @@ def pallas_ragged_paged_attention(
 ) -> jax.Array:
     kv_pool = kv.data
     T, Hq, hd = q.shape
+    if (
+        not fused_page
+        and not plane_major_ps
+        and block_q == 1
+        and kv_pool.ndim == 4
+        and kv.scale is None
+        and jnp.dtype(kv_pool.dtype).itemsize < 4
+        and (kv_pool.shape[2] // 2) % 8 != 0
+    ):
+        # kvh_local not sublane-aligned for the split-plane DMA (high-TP
+        # geometries): route decode to the fused whole-page kernel, which
+        # works for any kvh, instead of the slow per-head general kernel.
+        # (Scaled int8 pools still fall back: the fused kernel needs the
+        # interleaved sidecar the engine does not store.)
+        fused_page = True
     if fused_page:
         # whole-page kernel (_decode_kernel_fused): flatten page rows; the
         # reshape of a contiguous [N, ps, 2kvh, hd] pool is a free bitcast

@@ -278,10 +278,11 @@ def test_gated_dma_decode_parity(int8):
 
 
 def test_bf16_odd_kvh_decode_parity():
-    """kvh=1 bf16 is not 2-aligned for the plane split: decode must take
-    the general-kernel fallback (latent high-TP geometry, kvh_local=1).
-    The f32 pool variant of the same geometry (packing 1) keeps the flat
-    kernel — both must agree with the XLA reference."""
+    """kvh=1 bf16 is not 8-aligned for the plane-split DMA: decode
+    auto-routes to the fused whole-page kernel (any-kvh path for unscaled
+    pools; latent high-TP geometry, kvh_local=1). The f32 pool variant of
+    the same geometry (packing 1) keeps the flat split kernel — both must
+    agree with the XLA reference."""
     rng = np.random.default_rng(17)
     seqs = [(1, 7), (1, 33)]
     scale = HD**-0.5
