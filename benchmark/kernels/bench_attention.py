@@ -97,6 +97,10 @@ def main():
         help="use block_until_ready timing (UNTRUSTWORTHY through the axon "
         "tunnel; default is chained-scan wall clock)",
     )
+    p.add_argument(
+        "--iters", type=int, default=200,
+        help="chained calls per dispatch (amortizes the tunnel RTT)",
+    )
     args = p.parse_args()
     Hq, kvh, hd, ps = args.hq, args.kvh, args.hd, args.ps
     itemsize = 2  # bf16
@@ -124,7 +128,9 @@ def main():
                     jimpl = jax.jit(impl)
                     sec = time_fn(lambda: jimpl(qa, kv, meta))
                 else:
-                    sec = time_fn_chained(impl, qa, kv, meta)
+                    sec = time_fn_chained(
+                        impl, qa, kv, meta, iters=args.iters
+                    )
             except Exception as e:
                 print(f"{name} [{backend}]: FAILED {type(e).__name__}")
                 continue

@@ -858,9 +858,13 @@ def default_pages_per_chunk(page_size: int, phase: str) -> int:
     BENCHLOG round 2): decode wants ~512-token chunks — at page_size 128,
     cp=4 reads int8 KV at 599 GB/s vs 430 at cp=2 — while prefill keeps the
     round-1-tuned 128-token chunks (its VMEM budget is dominated by the
-    [BQ, Hq, hd] query block and 2x wider whole-page buffers)."""
-    target = 512 if phase == "decode" else 128
-    return max(1, target // page_size)
+    [BQ, Hq, hd] query block and 2x wider whole-page buffers). Prefill
+    never drops below 2 pages per chunk: cp=1 leaves a single DMA in
+    flight and the e2e bench lost ~8% at page_size 128 to the exposed
+    latency."""
+    if phase == "decode":
+        return max(1, 512 // page_size)
+    return max(2, 128 // page_size)
 
 
 def make_pallas_attention(*, page_size: int, scale: float, phase: str):

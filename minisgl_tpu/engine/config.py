@@ -7,12 +7,14 @@ CUDA-specific knobs re-interpreted for TPU:
   padded decode batch sizes each compiled once by XLA (the jit-bucket
   replacement for CUDA-graph capture, reference graph.py:49-67).
 - ``use_pynccl`` -> gone: collectives are XLA ICI/DCN ops on the mesh.
-- page_size defaults to 128 (the reference uses 1): on TPU the page is the
-  attention kernel's DMA granule, and the slope-timed sweep (BENCHLOG round
-  2) showed per-DMA fixed cost dominating below ~64KB transfers — 128-token
-  pages read bf16 KV at 91% of HBM peak and are what make int8 KV a 1.6x
-  win instead of a loss. Cost: up to page_size-1 wasted slots per request
-  and page-granular radix matching, both small at serving lengths.
+- page_size (the reference uses 1): on TPU the page is the attention
+  kernel's DMA granule. Default None = auto by KV dtype, from the
+  slope-timed sweep + e2e benches (BENCHLOG round 2): int8 pools take
+  128-token pages (per-DMA fixed cost on small strided runs is what made
+  int8 KV a loss at 16; at 128 it reads 620 GB/s and wins 1.65x), bf16
+  pools take 16 (the mixed-length page overread at 128 costs bf16 more
+  than the 686->750 GB/s DMA gain is worth). Cost of big pages: up to
+  page_size-1 wasted slots per request and page-granular radix matching.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ class EngineConfig:
     attention_backend: str = "auto"  # auto | pallas | xla
     moe_backend: str = "auto"
     max_decode_bs: Optional[int] = None
-    page_size: int = 128
+    page_size: Optional[int] = None  # None = auto by KV dtype (module doc)
     memory_ratio: float = 0.9
     use_dummy_weight: bool = False
     max_seq_len_override: Optional[int] = None
@@ -54,6 +56,14 @@ class EngineConfig:
     # decode iterations fused per dispatch when no prefill is pending
     # (device-side loop; tokens stream to the detokenizer in bursts of K)
     decode_steps: int = 1
+
+    def __post_init__(self):
+        if self.page_size is None:
+            object.__setattr__(
+                self,
+                "page_size",
+                128 if self.resolved_kv_dtype == "int8" else 16,
+            )
 
     @cached_property
     def hf_config(self):

@@ -52,7 +52,7 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
         choices=["auto", "pallas", "rpa", "xla"],
         default="auto",
     )
-    p.add_argument("--page-size", type=int, default=128)
+    p.add_argument("--page-size", type=int, default=None, help="KV page (tokens); default auto by KV dtype")
     p.add_argument(
         "--quantization",
         choices=["none", "int8", "w8a8", "int4"],
