@@ -121,11 +121,19 @@ def build_param_specs(
 
     spec: ParamsSpec = {}
 
+    # int8 quantizes the embedding table and LM head too (per-H-column
+    # scales, [1, H] / [1, V]): without it a 14B-class model's 3 GB of bf16
+    # embed+head alone overflows a 16 GB chip that holds its int8 linears.
+    # Gather dequant is one broadcast multiply; the tied-head matmul applies
+    # the per-H scale to the activations before the dot (scale sits on the
+    # contraction axis there).
+    table_quant = "int8" if quant == "int8" else None
     spec["embed"] = ParamInfo(
         (cfg.vocab_size, H),
         dtype,
         P(MODEL_AXIS, None),
         sources=[HFSource("model.embed_tokens.weight")],
+        quant=table_quant,
     )
     spec["rope_cache"] = ParamInfo(
         (cfg.rotary_config.max_position, cfg.rotary_config.rotary_dim),
@@ -142,6 +150,7 @@ def build_param_specs(
             dtype,
             P(None, MODEL_AXIS),
             sources=[HFSource("lm_head.weight", t_transpose)],
+            quant=table_quant,
         )
 
     # ---- stacked per-layer tensors (leading L axis) ----
@@ -286,17 +295,28 @@ def build_param_specs(
 
 
 def _vocab_parallel_embed(
-    embed_local: jax.Array, ids: jax.Array, vocab_size: int, tp: int
+    embed_local: jax.Array,
+    ids: jax.Array,
+    vocab_size: int,
+    tp: int,
+    scale: jax.Array | None = None,  # [1, H] int8-table dequant
+    dtype=None,
 ) -> jax.Array:
     """Masked local gather + psum (reference embedding.py:32-42)."""
+
+    def deq(x):
+        if scale is None:
+            return x
+        return (x.astype(jnp.float32) * scale).astype(dtype)
+
     v_local = vocab_size // tp
     if tp == 1:
-        return jnp.take(embed_local, ids, axis=0)
+        return deq(jnp.take(embed_local, ids, axis=0))
     shard = jax.lax.axis_index(MODEL_AXIS)
     start = shard * v_local
     local_ids = ids - start
     valid = (local_ids >= 0) & (local_ids < v_local)
-    x = jnp.take(embed_local, jnp.clip(local_ids, 0, v_local - 1), axis=0)
+    x = deq(jnp.take(embed_local, jnp.clip(local_ids, 0, v_local - 1), axis=0))
     x = jnp.where(valid[:, None], x, 0)
     return jax.lax.psum(x, MODEL_AXIS)
 
@@ -381,7 +401,14 @@ def decoder_forward(
     scale = hd**-0.5
     act_fn = ACT2FN[cfg.hidden_act]
 
-    x = _vocab_parallel_embed(params["embed"], input_ids, cfg.vocab_size, tp)
+    x = _vocab_parallel_embed(
+        params["embed"],
+        input_ids,
+        cfg.vocab_size,
+        tp,
+        scale=params.get("embed@scale"),
+        dtype=params["final_norm"].dtype,
+    )
     cos_sin = jnp.take(params["rope_cache"], meta.positions, axis=0)
 
     layer_params = {
@@ -466,11 +493,24 @@ def decoder_forward(
 
     if cfg.tie_word_embeddings:
         lm_w = params["embed"].T  # [H, V/tp] — same local layout either way
+        tied_scale = params.get("embed@scale")  # [1, H]: contraction axis
+        if tied_scale is not None:
+            # per-H scales sit on the CONTRACTION axis of the tied head —
+            # fold them into the activations, then dot the raw int8 table
+            hidden_last = (
+                hidden_last.astype(jnp.float32) * tied_scale
+            ).astype(hidden_last.dtype)
+        head_scale = None
     else:
         lm_w = params["lm_head"]
+        head_scale = params.get("lm_head@scale")  # [1, V/tp] epilogue
+    if lm_w.dtype == jnp.int8:
+        lm_w = lm_w.astype(hidden_last.dtype)
     logits_local = jnp.dot(
         hidden_last, lm_w, preferred_element_type=jnp.float32
     )  # [B, V/tp]
+    if head_scale is not None:
+        logits_local = logits_local * head_scale
     if tp > 1:
         logits = jax.lax.all_gather(
             logits_local, MODEL_AXIS, axis=-1, tiled=True
