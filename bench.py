@@ -58,6 +58,8 @@ def main() -> None:
     kwargs = {}
     if os.environ.get("BENCH_PAGE_SIZE"):
         kwargs["page_size"] = int(os.environ["BENCH_PAGE_SIZE"])
+    if os.environ.get("BENCH_EXTEND"):  # chunked-prefill budget (tokens)
+        kwargs["max_extend_tokens"] = int(os.environ["BENCH_EXTEND"])
     llm = LLM(
         MODEL,
         use_dummy_weight=True,

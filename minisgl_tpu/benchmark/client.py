@@ -36,6 +36,12 @@ class BenchStats:
     duration: float
     ttft: Tuple[float, float, float, float, float]  # avg/p50/p90/p99/max (ms)
     tpot: Tuple[float, float, float, float, float]  # ms
+    # ITL: percentiles over INDIVIDUAL chunk gaps, pooled across requests.
+    # With multi-step decode (K>1) the scheduler emits tokens in bursts, so
+    # TPOT (burst-amortized mean) understates the worst wait between visible
+    # chunks: p50 ITL ~ 0 (within a burst), p99 ITL ~ the K-step interval.
+    # Reporting both keeps the burst cadence honest.
+    itl: Tuple[float, float, float, float, float]  # ms
     e2e: Tuple[float, float, float, float, float]  # s
     token_throughput: float
     request_throughput: float
@@ -54,6 +60,7 @@ class BenchStats:
                 f"duration: {self.duration:.2f}s",
                 row("TTFT", self.ttft, "ms"),
                 row("TPOT", self.tpot, "ms"),
+                row("ITL ", self.itl, "ms"),
                 row("E2E ", self.e2e, " s"),
                 f"throughput: {self.token_throughput:.1f} tok/s, "
                 f"{self.request_throughput:.2f} req/s",
@@ -155,6 +162,12 @@ def process_results(results: Sequence[BenchOneResult]) -> BenchStats:
         for r in results
         if len(r.tics) > 1
     ] or [0.0]
+    itls = [
+        g
+        for r in results
+        if len(r.tics) > 1
+        for g in np.diff(np.asarray(r.tics)).tolist()
+    ] or [0.0]
     e2es = [r.tics[-1] - r.send_time for r in results]
     t_min = min(r.send_time for r in results)
     t_max = max(r.tics[-1] for r in results)
@@ -166,6 +179,7 @@ def process_results(results: Sequence[BenchOneResult]) -> BenchStats:
         duration=dur,
         ttft=_stats(ttfts, 1000),
         tpot=_stats(tpots, 1000),
+        itl=_stats(itls, 1000),
         e2e=_stats(e2es, 1),
         token_throughput=num_tokens / dur,
         request_throughput=len(results) / dur,

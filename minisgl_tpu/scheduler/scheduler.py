@@ -405,6 +405,16 @@ class Scheduler(SchedulerIOMixin):
             self.metrics.decode_steps += 1
             self.metrics.decode_tokens += batch.size * batch.decode_steps
         output = rep.engine.forward_batch(batch)
+        # start the D2H token transfer NOW: it overlaps the device executing
+        # this batch plus the host scheduling the next one, so the
+        # one-iteration-behind np.asarray in _process_last_data finds the
+        # bytes (mostly) already on the host instead of paying a full
+        # device round trip per scheduler iteration (reference analogue:
+        # the async copy_ + cuda event at engine.py:202-206)
+        try:
+            output.tokens.copy_to_host_async()
+        except AttributeError:
+            pass  # non-jax.Array stand-ins in tests
         logger.debug(f"dispatched {batch.phase} B={batch.size} r={rep.idx}")
         rep.decode_manager.filter_reqs(batch.reqs)
         return output
