@@ -30,6 +30,11 @@ def main() -> None:
     p.add_argument("--min-output", type=int, default=16)
     p.add_argument("--max-output", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--temperature", type=float, default=0.0,
+        help="non-zero exercises the stochastic sampling path "
+        "(VERDICT: its cost must be visible, not hidden by greedy benches)",
+    )
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -37,12 +42,13 @@ def main() -> None:
     for _ in range(args.num):
         in_len = int(rng.integers(1, args.max_input + 1))
         out_len = int(rng.integers(args.min_output, args.max_output + 1))
-        reqs.append(
-            dict(
-                input_ids=rng.integers(10, 10_000, in_len).tolist(),
-                max_tokens=out_len,
-            )
+        req = dict(
+            input_ids=rng.integers(10, 10_000, in_len).tolist(),
+            max_tokens=out_len,
         )
+        if args.temperature > 0:
+            req["temperature"] = args.temperature
+        reqs.append(req)
 
     results = asyncio.run(benchmark_batch(args.url, reqs))
     print(process_results(results).pretty())

@@ -76,12 +76,18 @@ async def bench_one(
     input_ids: Optional[List[int]] = None,
     max_tokens: int = 128,
     ignore_eos: bool = True,
+    **sampling: Any,
 ) -> BenchOneResult:
-    """One streaming /generate request; timestamps every SSE chunk."""
+    """One streaming /generate request; timestamps every SSE chunk.
+
+    Extra keyword args (temperature, top_k, top_p, ...) pass through to the
+    request body, so load tests can exercise the non-greedy sampling path
+    (its cost is invisible in greedy-only benches)."""
     body: Dict[str, Any] = {
         "stream": True,
         "max_tokens": max_tokens,
         "ignore_eos": ignore_eos,
+        **sampling,
     }
     if input_ids is not None:
         body["input_ids"] = input_ids

@@ -49,19 +49,22 @@ def time_fn_chained(
     is the only trustworthy fence. Requires impl's output to have q's shape."""
     import numpy as np
 
+    # args must be jit PARAMETERS, not closure captures: captured arrays are
+    # inlined into the HLO as literal constants, and a serving-sized KV pool
+    # blows past the remote-compile helper's request-size limit (HTTP 413)
     @jax.jit
-    def chain(q0):
+    def chain(q0, *a):
         def body(qc, _):
-            return impl(qc, *args).astype(qc.dtype), ()
+            return impl(qc, *a).astype(qc.dtype), ()
 
         q_fin, _ = jax.lax.scan(body, q0, None, length=iters)
         return q_fin
 
-    np.asarray(chain(q))  # compile + warm
+    np.asarray(chain(q, *args))  # compile + warm
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
-        np.asarray(chain(q))
+        np.asarray(chain(q, *args))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -30,6 +30,18 @@ def test_process_results_basic():
     np.testing.assert_allclose(st.token_throughput, 4 / 0.3)
 
 
+def test_itl_exposes_burst_cadence():
+    # K-burst stream: 3 tokens back-to-back, a 0.15s gap, 3 more. TPOT
+    # (burst-amortized mean) smears the gap; ITL percentiles must show it.
+    res = [_mk(0.0, [0.1, 0.101, 0.102, 0.252, 0.253, 0.254])]
+    st = process_results(res)
+    gaps = np.diff([0.1, 0.101, 0.102, 0.252, 0.253, 0.254]) * 1000
+    np.testing.assert_allclose(st.itl[0], gaps.mean())
+    np.testing.assert_allclose(st.itl[1], 1.0)  # p50: within-burst gap
+    np.testing.assert_allclose(st.itl[4], 150.0)  # max: the burst interval
+    assert st.itl[4] > 4 * st.tpot[1]
+
+
 def test_empty_results_filtered():
     st = process_results([_mk(0.0, [0.5]), _mk(0.0, [])])
     assert st.num_requests == 1
