@@ -88,16 +88,21 @@ def main() -> None:
     ]
     llm.generate(warm_prompts, params)
 
+    m = llm.metrics
+    steps0 = (m.prefill_steps, m.decode_steps)
     tic = time.perf_counter()
     results = llm.generate(prompts, params)
     elapsed = time.perf_counter() - tic
+    n_prefill = m.prefill_steps - steps0[0]
+    n_decode = m.decode_steps - steps0[1]
 
     total_out = sum(len(r["token_ids"]) for r in results)
     total_in = int(in_lens.sum())
     throughput = (total_in + total_out) / elapsed
     print(
         f"# in={total_in} out={total_out} time={elapsed:.2f}s "
-        f"decode_tps={total_out / elapsed:.1f}",
+        f"decode_tps={total_out / elapsed:.1f} "
+        f"steps(prefill={n_prefill} decode={n_decode})",
         file=sys.stderr,
     )
     print(
