@@ -90,6 +90,7 @@ def main() -> None:
 
     m = llm.metrics
     steps0 = (m.prefill_steps, m.decode_steps)
+    loop0 = dict(llm.loop_times)
     tic = time.perf_counter()
     results = llm.generate(prompts, params)
     elapsed = time.perf_counter() - tic
@@ -99,10 +100,12 @@ def main() -> None:
     total_out = sum(len(r["token_ids"]) for r in results)
     total_in = int(in_lens.sum())
     throughput = (total_in + total_out) / elapsed
+    lt = {k: v - loop0.get(k, 0.0) for k, v in llm.loop_times.items()}
     print(
         f"# in={total_in} out={total_out} time={elapsed:.2f}s "
         f"decode_tps={total_out / elapsed:.1f} "
-        f"steps(prefill={n_prefill} decode={n_decode})",
+        f"steps(prefill={n_prefill} decode={n_decode}) "
+        f"loop_s={{{', '.join(f'{k}: {v:.2f}' for k, v in lt.items())}}}",
         file=sys.stderr,
     )
     print(

@@ -27,8 +27,9 @@ Invariants carried over from the reference:
 from __future__ import annotations
 
 import time
+from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -106,6 +107,10 @@ class Scheduler(SchedulerIOMixin):
         ]
 
         self.metrics = SchedulerMetrics()
+        # host-loop time decomposition (seconds, cumulative): where wall
+        # clock goes when the device is NOT the bottleneck. ~4 perf_counter
+        # calls per iteration -- negligible vs a multi-ms device step.
+        self.loop_times: Dict[str, float] = defaultdict(float)
         self.eos_token_ids = self._resolve_eos_ids()
         self.prefill_budget = config.max_extend_tokens
         self._running = True
@@ -200,17 +205,23 @@ class Scheduler(SchedulerIOMixin):
         )
         if blocking:
             self.run_when_idle()
+        t0 = time.perf_counter()
         for msg in self.receive_msg(blocking=blocking):
             self._process_one_msg(msg)
+        t1 = time.perf_counter()
+        self.loop_times["recv_msgs"] += t1 - t0
 
         ongoing: List[Optional[ForwardData]] = [None] * len(self.replicas)
         for rep in self.replicas:
             batch = self._schedule_next_batch(rep)
             if batch is not None:
                 ongoing[rep.idx] = (rep, batch, self._forward(rep, batch))
+        t2 = time.perf_counter()
+        self.loop_times["schedule_dispatch"] += t2 - t1
 
         for data in last_data:
             self._process_last_data(data)
+        self.loop_times["process_results"] += time.perf_counter() - t2
         return ongoing
 
     def normal_loop(self) -> None:
@@ -258,6 +269,7 @@ class Scheduler(SchedulerIOMixin):
         if tokens.ndim == 1:  # single-step: [B] -> [1, B]
             tokens = tokens[None, :]
         dt = time.perf_counter() - t0
+        self.loop_times["fetch_wait"] += dt
         if dt > 1.0:  # steady state: the fetch lags one dispatched batch
             logger.debug(f"token fetch waited {dt:.1f}s ({batch.phase})")
         reply: List[DetokenizeMsg] = []
