@@ -56,6 +56,12 @@ class EngineConfig:
     # decode iterations fused per dispatch when no prefill is pending
     # (device-side loop; tokens stream to the detokenizer in bursts of K)
     decode_steps: int = 1
+    # scheduler result-pipeline depth: results are processed this many
+    # iterations after dispatch, keeping that many D2H token fetches in
+    # flight (hides high per-fetch latency; EOS detection lags by
+    # depth*decode_steps tokens). 0 = MSLT_PIPELINE_DEPTH env (default 1,
+    # the reference's one-behind overlap)
+    pipeline_depth: int = 0
 
     def __post_init__(self):
         if self.page_size is None:

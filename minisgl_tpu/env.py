@@ -61,6 +61,16 @@ class _Env:
     # kernel (A/B knob). 0 = auto: per-phase token target / page_size
     # (pallas_backend.default_pages_per_chunk).
     PAGES_PER_CHUNK = EnvField("PAGES_PER_CHUNK", 0, int)
+    # Scheduler pipeline depth: how many iterations behind results are
+    # processed. 1 = the reference's one-behind overlap. Deeper pipelines
+    # keep >1 token fetches in flight, hiding high per-fetch D2H latency
+    # (e.g. a tunneled device's ~45 ms RTT) at the cost of up to
+    # (depth*K - 1) wasted decode tokens per EOS-finished request.
+    PIPELINE_DEPTH = EnvField("PIPELINE_DEPTH", 1, int)
+    # Fetch step tokens on a background thread, submitted at dispatch, so
+    # the blocking D2H transfer overlaps device execution and host
+    # scheduling instead of serializing the loop.
+    ASYNC_FETCH = EnvField("ASYNC_FETCH", True, _parse_bool)
 
 
 ENV = _Env()

@@ -27,9 +27,10 @@ Invariants carried over from the reference:
 from __future__ import annotations
 
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Deque, Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -69,7 +70,10 @@ class Replica:
     cache_manager: CacheManager
     decode_manager: DecodeManager
     prefill_manager: PrefillManager
-    finished_reqs: Set[Req] = field(default_factory=set)
+    # reqs already finished (per an older batch's results) that still appear
+    # in N not-yet-processed in-flight batches; value = that countdown
+    finished_reqs: Dict[Req, int] = field(default_factory=dict)
+    inflight: Deque["ForwardData"] = field(default_factory=deque)
 
     @property
     def load(self) -> int:
@@ -82,8 +86,9 @@ class Replica:
         return self.prefill_manager.runnable or self.decode_manager.runnable
 
 
-# (replica, batch, in-flight device tokens) awaiting its one-behind fetch
-ForwardData = Tuple[Replica, Batch, ForwardOutput]
+# (replica, batch, in-flight device tokens, optional background host fetch)
+# awaiting its pipelined fetch ``depth`` iterations later
+ForwardData = Tuple[Replica, Batch, ForwardOutput, Optional[Future]]
 
 
 class Scheduler(SchedulerIOMixin):
@@ -114,6 +119,21 @@ class Scheduler(SchedulerIOMixin):
         self.eos_token_ids = self._resolve_eos_ids()
         self.prefill_budget = config.max_extend_tokens
         self._running = True
+        # pipelined result fetch: process results `depth` iterations behind,
+        # each with its blocking D2H transfer running on a pool thread from
+        # dispatch time — on devices with high per-fetch latency (tunneled
+        # TPU: ~45 ms RTT regardless of copy_to_host_async) the loop is
+        # otherwise fetch-bound, not device-bound (BENCHLOG host-loop
+        # decomposition). depth=1 keeps the reference's one-behind semantics.
+        self.pipeline_depth = max(1, config.pipeline_depth or ENV.PIPELINE_DEPTH)
+        self._fetch_pool = (
+            ThreadPoolExecutor(
+                max_workers=self.pipeline_depth + 1,
+                thread_name_prefix="mslt-fetch",
+            )
+            if ENV.ASYNC_FETCH
+            else None
+        )
 
         super().__init__(config)
 
@@ -197,10 +217,8 @@ class Scheduler(SchedulerIOMixin):
         for rep in self.replicas:
             rep.cache_manager.check_integrity()
 
-    def overlap_loop(
-        self, last_data: List[Optional[ForwardData]]
-    ) -> List[Optional[ForwardData]]:
-        blocking = all(d is None for d in last_data) and not any(
+    def overlap_loop(self) -> None:
+        blocking = all(not rep.inflight for rep in self.replicas) and not any(
             rep.has_work for rep in self.replicas
         )
         if blocking:
@@ -211,18 +229,24 @@ class Scheduler(SchedulerIOMixin):
         t1 = time.perf_counter()
         self.loop_times["recv_msgs"] += t1 - t0
 
-        ongoing: List[Optional[ForwardData]] = [None] * len(self.replicas)
+        dispatched: Dict[int, bool] = {}
         for rep in self.replicas:
             batch = self._schedule_next_batch(rep)
+            dispatched[rep.idx] = batch is not None
             if batch is not None:
-                ongoing[rep.idx] = (rep, batch, self._forward(rep, batch))
+                rep.inflight.append(self._forward(rep, batch))
         t2 = time.perf_counter()
         self.loop_times["schedule_dispatch"] += t2 - t1
 
-        for data in last_data:
-            self._process_last_data(data)
+        for rep in self.replicas:
+            # steady state: keep `pipeline_depth` batches in flight. When
+            # nothing was schedulable (drain tail / results gate new work,
+            # e.g. pages held until a finish is observed), drain fully so
+            # the pipeline can never deadlock on its own results.
+            keep = self.pipeline_depth if dispatched[rep.idx] else 0
+            while len(rep.inflight) > keep:
+                self._process_last_data(rep.inflight.popleft())
         self.loop_times["process_results"] += time.perf_counter() - t2
-        return ongoing
 
     def normal_loop(self) -> None:
         blocking = not any(rep.has_work for rep in self.replicas)
@@ -233,8 +257,7 @@ class Scheduler(SchedulerIOMixin):
         for rep in self.replicas:
             batch = self._schedule_next_batch(rep)
             if batch is not None:
-                out = self._forward(rep, batch)
-                self._process_last_data((rep, batch, out))
+                self._process_last_data(self._forward(rep, batch))
 
     def run_forever(self) -> None:
         # Other exceptions (e.g. the offline API's RequestAllFinished)
@@ -244,9 +267,10 @@ class Scheduler(SchedulerIOMixin):
                 while self._running:
                     self.normal_loop()
             else:
-                data: List[Optional[ForwardData]] = [None] * len(self.replicas)
-                while self._running or any(d is not None for d in data):
-                    data = self.overlap_loop(data)
+                while self._running or any(
+                    rep.inflight for rep in self.replicas
+                ):
+                    self.overlap_loop()
         except KeyboardInterrupt:
             logger.info("scheduler interrupted, shutting down")
             self.shutdown()
@@ -254,6 +278,8 @@ class Scheduler(SchedulerIOMixin):
     def shutdown(self) -> None:
         for rep in self.replicas:
             rep.engine.shutdown()
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=False, cancel_futures=True)
         self.shutdown_io()
 
     # ------------------------------------------------------------ processing
@@ -261,25 +287,32 @@ class Scheduler(SchedulerIOMixin):
     def _process_last_data(self, last_data: Optional[ForwardData]) -> None:
         if last_data is None:
             return
-        rep, batch, output = last_data
-        # the only host-device sync, one iteration behind (reference
-        # scheduler.py:142 copy_done.synchronize())
+        rep, batch, output, future = last_data
+        # the only host-device sync, `pipeline_depth` iterations behind
+        # (reference scheduler.py:142 copy_done.synchronize()); with a
+        # fetch pool the transfer has been running since dispatch
         t0 = time.perf_counter()
-        tokens = np.asarray(output.tokens)
+        tokens = future.result() if future is not None else np.asarray(
+            output.tokens
+        )
         if tokens.ndim == 1:  # single-step: [B] -> [1, B]
             tokens = tokens[None, :]
         dt = time.perf_counter() - t0
         self.loop_times["fetch_wait"] += dt
-        if dt > 1.0:  # steady state: the fetch lags one dispatched batch
+        if dt > 1.0:  # steady state: the fetch lags dispatched batches
             logger.debug(f"token fetch waited {dt:.1f}s ({batch.phase})")
         reply: List[DetokenizeMsg] = []
-        new_finished: Set[Req] = set()
         for i, req in enumerate(batch.reqs):
             if isinstance(req, ChunkedReq):
                 continue
             if req in rep.finished_reqs:
-                # overlap scheduling decoded one extra step for an
-                # already-finished req; drop it (reference scheduler.py:159)
+                # overlap scheduling decoded extra steps for an
+                # already-finished req; drop them (reference
+                # scheduler.py:159), forgetting the req once the last
+                # in-flight batch containing it has been processed
+                rep.finished_reqs[req] -= 1
+                if rep.finished_reqs[req] <= 0:
+                    del rep.finished_reqs[req]
                 continue
             finished = False
             for step in range(tokens.shape[0]):  # [K, B] burst rows
@@ -307,11 +340,14 @@ class Scheduler(SchedulerIOMixin):
                 req.clamp_to_host()
                 rep.decode_manager.remove_req(req)
                 self._free_req_resources(rep, req)
-                new_finished.add(req)
+                # batches already dispatched (still in rep.inflight) may
+                # contain this req; skip it that many more times
+                pending = sum(req in fd[1].reqs for fd in rep.inflight)
+                if pending:
+                    rep.finished_reqs[req] = pending
                 self.metrics.reqs_finished += 1
             elif batch.is_prefill:
                 rep.cache_manager.cache_req(req, finished=False)
-        rep.finished_reqs = new_finished
         self.send_result(reply)
 
     def _route_replica(self) -> Replica:
@@ -366,6 +402,11 @@ class Scheduler(SchedulerIOMixin):
                 if req is not None and req not in rep.finished_reqs:
                     self.metrics.reqs_aborted += 1
                     self._free_req_resources(rep, req)
+                    # in-flight batches may still carry the req: make the
+                    # result processor skip (not re-finish + double-free) it
+                    pending = sum(req in fd[1].reqs for fd in rep.inflight)
+                    if pending:
+                        rep.finished_reqs[req] = pending
                     # tell the detokenizer to drop its per-uid streaming
                     # state (otherwise it leaks for the server's lifetime)
                     self.send_result(
@@ -410,7 +451,7 @@ class Scheduler(SchedulerIOMixin):
         )
         return batch
 
-    def _forward(self, rep: Replica, batch: Batch) -> ForwardOutput:
+    def _forward(self, rep: Replica, batch: Batch) -> ForwardData:
         if batch.is_prefill:
             self.metrics.prefill_steps += 1
         else:
@@ -419,14 +460,21 @@ class Scheduler(SchedulerIOMixin):
         output = rep.engine.forward_batch(batch)
         # start the D2H token transfer NOW: it overlaps the device executing
         # this batch plus the host scheduling the next one, so the
-        # one-iteration-behind np.asarray in _process_last_data finds the
-        # bytes (mostly) already on the host instead of paying a full
-        # device round trip per scheduler iteration (reference analogue:
-        # the async copy_ + cuda event at engine.py:202-206)
+        # pipelined np.asarray in _process_last_data finds the bytes
+        # (mostly) already on the host instead of paying a full device
+        # round trip per scheduler iteration (reference analogue: the
+        # async copy_ + cuda event at engine.py:202-206). On runtimes where
+        # copy_to_host_async can't pre-land bytes (tunneled devices), the
+        # fetch pool runs the whole blocking transfer off-loop instead.
         try:
             output.tokens.copy_to_host_async()
         except AttributeError:
             pass  # non-jax.Array stand-ins in tests
+        future = (
+            self._fetch_pool.submit(np.asarray, output.tokens)
+            if self._fetch_pool is not None
+            else None
+        )
         logger.debug(f"dispatched {batch.phase} B={batch.size} r={rep.idx}")
         rep.decode_manager.filter_reqs(batch.reqs)
-        return output
+        return (rep, batch, output, future)

@@ -59,6 +59,10 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
         default="none",
     )
     p.add_argument("--decode-steps", type=int, default=1)
+    p.add_argument(
+        "--pipeline-depth", type=int, default=0,
+        help="scheduler result-fetch pipeline depth (0 = env default 1)",
+    )
     p.add_argument("--kv-dtype", dest="kv_dtype",
                    choices=["auto", "bf16", "fp8", "int8"], default="auto")
     p.add_argument("--memory-ratio", type=float, default=0.9)

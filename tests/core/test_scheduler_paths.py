@@ -87,8 +87,7 @@ def test_abort_releases_resources(model_dir):
     rep = llm.replicas[0]
     batch = llm._schedule_next_batch(rep)
     assert batch is not None and batch.is_prefill
-    out = llm._forward(rep, batch)
-    llm._process_last_data((rep, batch, out))
+    llm._process_last_data(llm._forward(rep, batch))
     llm._process_one_msg(AbortBackendMsg(uid=999))
     llm.cache_manager.check_integrity()
     # all pages back (free list + radix-owned evictables)
