@@ -74,6 +74,11 @@ def main() -> None:
         # round 2). BENCH_KV_DTYPE=auto gives the bf16 baseline.
         kv_dtype=os.environ.get("BENCH_KV_DTYPE", "int8"),
         quantization=os.environ.get("BENCH_QUANT", "none"),
+        # keep N result fetches in flight: the host loop is otherwise
+        # RTT-bound on the one-behind D2H token fetch (~41 ms/iteration vs
+        # ~11 ms device time through the tunnel; BENCHLOG host-loop
+        # decomposition)
+        pipeline_depth=int(os.environ.get("BENCH_PIPELINE_DEPTH", "2")),
         **kwargs,
     )
     # Warmup pass: the SAME workload shape with different random prompts,
