@@ -58,9 +58,20 @@ class Req:
     cache_handle: Optional["BaseCacheHandle"] = None
 
     def __post_init__(self) -> None:
-        self.input_ids = np.asarray(self.input_ids, dtype=np.int32)
-        self.device_len = int(len(self.input_ids))
+        prompt = np.asarray(self.input_ids, dtype=np.int32)
+        self.device_len = int(len(prompt))
         self.max_device_len = self.device_len + self.output_len
+        # Token storage is preallocated at full capacity (prompt +
+        # max_tokens, both known at admission); ``input_ids`` stays a cheap
+        # O(1) view so appends never copy the history (np.append per token
+        # is O(n) and dominated the host loop at bs*K appends/iteration).
+        # Appends only ever write past every previously exposed view, so
+        # slices handed out earlier (radix node keys, metadata builds)
+        # remain valid.
+        self._ids_buf = np.empty(self.max_device_len, dtype=np.int32)
+        self._ids_buf[: self.device_len] = prompt
+        self._num_ids = self.device_len
+        self.input_ids = self._ids_buf[: self._num_ids]
         # prompt length at admission; output count = len(input_ids) - this.
         # (The reference infers finish from device_len, which under overlap
         # scheduling advances one dispatch ahead of processed results and
@@ -97,11 +108,20 @@ class Req:
         self.cached_len = min(self.cached_len, n)
 
     def append_host(self, next_token: int) -> None:
-        self.input_ids = np.append(self.input_ids, np.int32(next_token))
+        self._ids_buf[self._num_ids] = next_token
+        self._num_ids += 1
+        self.input_ids = self._ids_buf[: self._num_ids]
+
+    def append_host_many(self, next_tokens: np.ndarray) -> None:
+        """Bulk append of one multi-step burst's accepted tokens."""
+        n = len(next_tokens)
+        self._ids_buf[self._num_ids : self._num_ids + n] = next_tokens
+        self._num_ids += n
+        self.input_ids = self._ids_buf[: self._num_ids]
 
     @property
     def num_output_tokens(self) -> int:
-        return len(self.input_ids) - self.prompt_len
+        return self._num_ids - self.prompt_len
 
     @property
     def can_decode(self) -> bool:

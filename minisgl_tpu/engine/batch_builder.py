@@ -57,6 +57,18 @@ def build_batch_metadata(
     reqs = batch.reqs
     B = len(reqs)
 
+    # accept a TableManager (cached per-slot numpy page arrays — the fast
+    # path the scheduler uses every step) or a plain list-of-lists
+    if hasattr(page_lists, "page_array"):
+        table = page_lists
+        page_lists = table.page_lists
+        get_page_arr = table.page_array
+    else:
+        _pl = page_lists
+
+        def get_page_arr(slot: int) -> np.ndarray:
+            return np.asarray(_pl[slot], dtype=np.int32)
+
     def aligned(n: int) -> int:
         return -(-n // q_align) * q_align
 
@@ -98,31 +110,60 @@ def build_batch_metadata(
     top_p = np.ones(B_pad, np.float32)
     input_ids = np.zeros(T_pad, np.int32) if batch.is_prefill else None
 
-    offset = 0
-    for i, req in enumerate(reqs):
-        pages = page_lists[req.table_idx]
-        slot_ids[i] = req.table_idx
-        seq_lens[i] = req.device_len
-        page_table[i, : len(pages)] = pages
-        sp = req.sampling_params
-        temperature[i] = sp.temperature
-        top_k[i] = sp.top_k
-        top_p[i] = sp.top_p
+    if batch.is_decode:
+        # fully vectorized: one query token per row (ext == 1 by the
+        # complete_k bookkeeping), so positions/out-slots derive from the
+        # assembled page table in one gather — this runs every iteration
+        # at bs rows and was the scheduler's hot spot as a python loop
+        for i, req in enumerate(reqs):
+            arr = get_page_arr(req.table_idx)
+            page_table[i, : len(arr)] = arr
+            sp = req.sampling_params
+            temperature[i] = sp.temperature
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
+        slot_ids[:B] = np.fromiter(
+            (r.table_idx for r in reqs), np.int32, count=B
+        )
+        device_lens = np.fromiter(
+            (r.device_len for r in reqs), np.int32, count=B
+        )
+        seq_lens[:B] = device_lens
+        pos = device_lens - 1  # == cached_len: decode extends by one
+        assert all(r.cached_len == r.device_len - 1 for r in reqs)
+        rows = np.arange(B, dtype=np.int32)
+        out_slots[:B] = (
+            page_table[rows, pos // page_size] * page_size + pos % page_size
+        )
+        positions[:B] = pos
+        q_req_ids[:B] = rows
+        last_q_index[:B] = rows
+        cu_q_lens[1 : B + 1] = rows + 1
+        offset = B
+    else:
+        offset = 0
+        for i, req in enumerate(reqs):
+            slot_ids[i] = req.table_idx
+            seq_lens[i] = req.device_len
+            sp = req.sampling_params
+            temperature[i] = sp.temperature
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
 
-        ext = req.extend_len
-        pos = np.arange(req.cached_len, req.device_len, dtype=np.int32)
-        page_arr = np.asarray(pages, dtype=np.int32)
-        slots = page_arr[pos // page_size] * page_size + pos % page_size
-        positions[offset : offset + ext] = pos
-        out_slots[offset : offset + ext] = slots
-        q_req_ids[offset : offset + ext] = i
-        if batch.is_prefill:
+            ext = req.extend_len
+            pos = np.arange(req.cached_len, req.device_len, dtype=np.int32)
+            page_arr = get_page_arr(req.table_idx)
+            page_table[i, : len(page_arr)] = page_arr
+            slots = page_arr[pos // page_size] * page_size + pos % page_size
+            positions[offset : offset + ext] = pos
+            out_slots[offset : offset + ext] = slots
+            q_req_ids[offset : offset + ext] = i
             input_ids[offset : offset + ext] = req.input_ids[
                 req.cached_len : req.device_len
             ]
-        last_q_index[i] = offset + ext - 1
-        offset += ext if batch.is_decode else aligned(ext)
-        cu_q_lens[i + 1] = offset
+            last_q_index[i] = offset + ext - 1
+            offset += aligned(ext)
+            cu_q_lens[i + 1] = offset
 
     assert offset == T, (offset, T)
     cu_q_lens[B + 1 :] = offset

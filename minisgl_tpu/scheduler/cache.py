@@ -98,8 +98,23 @@ class CacheManager:
         )
         self.unlock(old_handle)
         ps = self.page_size
-        # duplicate region: our pages for [old.cached_len, dup_len)
-        self._free(pages[old_handle.cached_len // ps : dup_len // ps])
+        # duplicate region: tokens [old.cached_len, dup_len) were cached by
+        # OTHER requests while we prefilled, so the tree kept its canonical
+        # pages and ours are redundant. The reference frees them outright
+        # (cache.py:74) and leaves the request's table row pointing at the
+        # freed pages — a stale-KV read if they get reallocated while this
+        # request still decodes. Repoint the live request at the canonical
+        # pages (same token content) before freeing ours.
+        dup_lo, dup_hi = old_handle.cached_len // ps, dup_len // ps
+        if dup_hi > dup_lo:
+            ours = pages[dup_lo:dup_hi]
+            if not finished:
+                canonical = new_handle.get_matched_page_ids()
+                pages[dup_lo:dup_hi] = (int(p) for p in canonical[dup_lo:dup_hi])
+                # same-length in-place mutation: drop the table's cached
+                # numpy mirror of this slot
+                self.table_manager.invalidate(req.table_idx)
+            self._free(ours)
         if finished:
             # everything beyond what the radix tree owns, including the
             # decode-reservation page that may extend past cached_len (the

@@ -11,7 +11,9 @@ dummy row for batch padding (reference engine.py:89-98).
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List, Tuple
+
+import numpy as np
 
 
 class TableManager:
@@ -22,6 +24,12 @@ class TableManager:
         self.page_lists: List[List[int]] = [
             [] for _ in range(max_running_reqs + 1)
         ]
+        # per-slot numpy mirror of page_lists, rebuilt only when a slot's
+        # list object or length changes: decode steps re-ship every row's
+        # page table, and list->ndarray conversion per row per step was the
+        # metadata builder's hot spot. In-place SAME-LENGTH mutations (the
+        # dup-region repoint in cache.py) must call invalidate().
+        self._arr_cache: Dict[int, Tuple[np.ndarray, List[int]]] = {}
 
     @property
     def available_size(self) -> int:
@@ -36,3 +44,16 @@ class TableManager:
         assert slot != 0
         self.page_lists[slot] = []
         self._free_slots.append(slot)
+
+    def page_array(self, slot: int) -> np.ndarray:
+        """Cached int32 array view of ``page_lists[slot]``."""
+        lst = self.page_lists[slot]
+        hit = self._arr_cache.get(slot)
+        if hit is not None and hit[1] is lst and len(hit[0]) == len(lst):
+            return hit[0]
+        arr = np.asarray(lst, dtype=np.int32)
+        self._arr_cache[slot] = (arr, lst)
+        return arr
+
+    def invalidate(self, slot: int) -> None:
+        self._arr_cache.pop(slot, None)

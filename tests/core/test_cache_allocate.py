@@ -223,3 +223,51 @@ def test_radix_node_split(mgr):
         np.asarray(prefix + [50, 51, 52, 53], np.int32)
     ).handle
     assert m.cached_len == 12
+
+
+def test_dup_region_repointed_to_canonical(mgr):
+    """Two identical prefixes prefilled concurrently: when the second
+    finishes prefill, its duplicate pages are freed AND its live page list
+    is repointed at the tree's canonical pages — otherwise a later
+    reallocation of the freed pages corrupts the second request's decode
+    reads (hazard present in the reference, cache.py:74)."""
+    table, cache = mgr
+    shared = list(range(8))
+    ids_a = shared + [100, 101, 102, 103]
+    ids_b = shared + [200, 201, 202, 203]
+
+    def admit(uid, ids):
+        from minisgl_tpu.scheduler.prefill import PendingReq
+
+        pending = PendingReq(uid, np.asarray(ids, np.int32), SamplingParams())
+        handle = cache.match_req(pending).handle
+        cache.lock(handle)
+        req = make_req(table, ids, cached_len=handle.cached_len, uid=uid)
+        req.cache_handle = handle
+        cache.allocate_paged([req])
+        return req
+
+    # both admitted before either caches: no prefix match for either
+    req_a = admit(0, ids_a)
+    req_b = admit(1, ids_b)
+    pages_b_before = list(table.page_lists[req_b.table_idx])
+
+    req_a.cached_len = len(ids_a)
+    cache.cache_req(req_a, finished=False)
+    canonical = [int(p) for p in table.page_lists[req_a.table_idx][:2]]
+
+    req_b.cached_len = len(ids_b)
+    cache.cache_req(req_b, finished=False)
+    pages_b = table.page_lists[req_b.table_idx]
+    # shared region (2 pages) now points at A's canonical pages
+    assert pages_b[:2] == canonical
+    # B's own duplicate pages were freed
+    assert all(p in cache.free_pages for p in pages_b_before[:2])
+    # unique suffix untouched
+    assert pages_b[2:] == pages_b_before[2:]
+    # cleanup keeps the allocator consistent
+    cache.free_req_pages(req_a)
+    table.free(req_a.table_idx)
+    cache.free_req_pages(req_b)
+    table.free(req_b.table_idx)
+    cache.check_integrity()
