@@ -213,6 +213,11 @@ def read_jsonl_trace(
     if rows:
         t0 = rows[0][0]
         rows = [(t - t0, i, o) for t, i, o in rows]
+        # mooncake traces stamp integer milliseconds (reference
+        # client.py:445-470 divides by 1000); qwen traces use seconds.
+        # A >3-day span in "seconds" means the file is ms-stamped.
+        if rows[-1][0] > 3 * 86400:
+            rows = [(t / 1000.0, i, o) for t, i, o in rows]
     return rows
 
 

@@ -271,3 +271,38 @@ def test_dup_region_repointed_to_canonical(mgr):
     cache.free_req_pages(req_b)
     table.free(req_b.table_idx)
     cache.check_integrity()
+
+
+def test_page_array_cache_sees_repoint(mgr):
+    """The TableManager's cached numpy page arrays must be invalidated by
+    the dup-region repoint (same list object, same length, new contents) —
+    otherwise the next decode step's metadata ships the freed pages."""
+    table, cache = mgr
+    shared = list(range(8))
+
+    def admit(uid, ids):
+        from minisgl_tpu.scheduler.prefill import PendingReq
+
+        pending = PendingReq(uid, np.asarray(ids, np.int32), SamplingParams())
+        handle = cache.match_req(pending).handle
+        cache.lock(handle)
+        req = make_req(table, ids, cached_len=handle.cached_len, uid=uid)
+        req.cache_handle = handle
+        cache.allocate_paged([req])
+        return req
+
+    req_a = admit(0, shared + [100, 101, 102, 103])
+    req_b = admit(1, shared + [200, 201, 202, 203])
+    # warm the cache the way build_batch_metadata does
+    stale = table.page_array(req_b.table_idx).copy()
+    req_a.cached_len = 12
+    cache.cache_req(req_a, finished=False)
+    req_b.cached_len = 12
+    cache.cache_req(req_b, finished=False)
+    fresh = table.page_array(req_b.table_idx)
+    assert fresh.tolist() == table.page_lists[req_b.table_idx]
+    assert fresh[:2].tolist() != stale[:2].tolist()
+    for r in (req_a, req_b):
+        cache.free_req_pages(r)
+        table.free(r.table_idx)
+    cache.check_integrity()
