@@ -56,6 +56,11 @@ class EngineConfig:
     # decode iterations fused per dispatch when no prefill is pending
     # (device-side loop; tokens stream to the detokenizer in bursts of K)
     decode_steps: int = 1
+    # "prefill-first" (the reference's fcfs prefill-priority policy,
+    # scheduler.py:219-225; "fcfs" is accepted as an alias) or
+    # "interleave": one decode step between consecutive prefill chunks,
+    # bounding inter-token latency during long chunked prefills
+    schedule_policy: str = "prefill-first"
     # scheduler result-pipeline depth: results are processed this many
     # iterations after dispatch, keeping that many D2H token fetches in
     # flight (hides high per-fetch latency; EOS detection lags by

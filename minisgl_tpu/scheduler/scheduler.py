@@ -74,6 +74,8 @@ class Replica:
     # in N not-yet-processed in-flight batches; value = that countdown
     finished_reqs: Dict[Req, int] = field(default_factory=dict)
     inflight: Deque["ForwardData"] = field(default_factory=deque)
+    # phase of the most recently dispatched batch (interleave policy)
+    last_phase: str = "decode"
 
     @property
     def load(self) -> int:
@@ -451,16 +453,31 @@ class Scheduler(SchedulerIOMixin):
     # ------------------------------------------------------------ scheduling
 
     def _schedule_next_batch(self, rep: Replica) -> Optional[Batch]:
-        batch = rep.prefill_manager.schedule_next_batch(
-            self.prefill_budget, q_align=rep.engine.q_align,
-            metrics=self.metrics,
-        )
+        batch = None
+        if (
+            self.config.schedule_policy == "interleave"
+            and rep.last_phase == "prefill"
+            and rep.decode_manager.runnable
+        ):
+            # bound inter-token latency during long chunked prefills: run
+            # one decode step between consecutive prefill chunks instead of
+            # the reference's strict prefill-first (scheduler.py:219-225),
+            # which stalls every running decode for the whole chunk train
+            batch = rep.decode_manager.schedule_next_batch(
+                1 if rep.prefill_manager.runnable else self.config.decode_steps
+            )
+        if batch is None:
+            batch = rep.prefill_manager.schedule_next_batch(
+                self.prefill_budget, q_align=rep.engine.q_align,
+                metrics=self.metrics,
+            )
         if batch is None:
             # multi-step bursts only when no prefill is waiting (TTFT first)
             k = 1 if rep.prefill_manager.runnable else self.config.decode_steps
             batch = rep.decode_manager.schedule_next_batch(k)
         if batch is None:
             return None
+        rep.last_phase = batch.phase
         rep.cache_manager.allocate_paged(
             batch.reqs, lookahead=batch.decode_steps - 1
         )

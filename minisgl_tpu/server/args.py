@@ -71,7 +71,14 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     p.add_argument("--max-extend-tokens", type=int, default=8192)
     p.add_argument("--cache", dest="cache_type", choices=["radix", "naive"],
                    default="radix")
-    p.add_argument("--schedule-policy", choices=["fcfs"], default="fcfs")
+    p.add_argument(
+        "--schedule-policy",
+        choices=["prefill-first", "fcfs", "interleave"],
+        default="prefill-first",
+        help="prefill-first (= the reference's fcfs prefill-priority "
+        "policy) or interleave: one decode step between prefill chunks, "
+        "bounding ITL during long prompts at some prefill throughput cost",
+    )
     p.add_argument("--dummy-weight", dest="use_dummy_weight",
                    action="store_true")
     p.add_argument("--num-tokenizers", type=int, default=2)
