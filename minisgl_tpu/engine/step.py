@@ -24,7 +24,11 @@ from jax.sharding import PartitionSpec as P
 from minisgl_tpu.attention.metadata import StepMetadata, unpack_step_meta
 from minisgl_tpu.models.base import Model
 from minisgl_tpu.models.common import AttnImpl
-from minisgl_tpu.ops.sampling import sample_tokens
+from minisgl_tpu.ops.sampling import (
+    greedy_sharded,
+    sample_tokens,
+    sample_tokens_sharded,
+)
 from minisgl_tpu.parallel.mesh import MODEL_AXIS, MeshInfo
 
 
@@ -74,20 +78,35 @@ def build_step_fn(
     assert decode_steps == 1 or phase == "decode"
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
 
+    # tp > 1 token path: keep logits vocab-sharded and reduce per-shard
+    # argmax/top-k candidates across the mesh instead of all-gathering
+    # [B, V] (38 MB/step bf16 at B=128, V=151k) just to pick one token per
+    # row. Scoring mode (return_logits) still gathers — callers want [B, V].
+    distributed = mesh_info.tp_size > 1 and not return_logits
+
     def _one(params, state: DeviceState, meta: StepMetadata):
         if phase == "decode":
             input_ids = jnp.take(state.token_slots, meta.slot_ids)
         else:
             input_ids = meta.input_ids
         logits, kv_pool = model.forward(
-            params, input_ids, state.kv, meta.attn, attn_impl
+            params, input_ids, state.kv, meta.attn, attn_impl,
+            gather_logits=not distributed,
         )
         if all_greedy:
-            tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if distributed:
+                tokens = greedy_sharded(logits, MODEL_AXIS)
+            else:
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             rng = state.rng
         else:
             rng, subkey = jax.random.split(state.rng)
-            tokens = sample_tokens(logits, meta.sampling, subkey)
+            if distributed:
+                tokens = sample_tokens_sharded(
+                    logits, meta.sampling, subkey, MODEL_AXIS
+                )
+            else:
+                tokens = sample_tokens(logits, meta.sampling, subkey)
         token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
         return DeviceState(kv_pool, token_slots, rng), tokens, logits
 

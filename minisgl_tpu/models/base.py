@@ -44,6 +44,7 @@ class Model:
         meta: AttnMetadata,
         attn_impl: AttnImpl,
         gather_last: bool = True,
+        gather_logits: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         return decoder_forward(
             params,
@@ -56,6 +57,7 @@ class Model:
             attn_impl,
             w8a8=self.quant == "w8a8",
             gather_last=gather_last,
+            gather_logits=gather_logits,
         )
 
 

@@ -389,10 +389,13 @@ def decoder_forward(
     attn_impl: AttnImpl,
     w8a8: bool = False,
     gather_last: bool = True,
+    gather_logits: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (logits [B, V] f32, kv_pool). With ``gather_last=False`` the
     LM head runs on EVERY query token (logits [T, V]) — the teacher-forced
-    scoring mode of the quality/perplexity harness (quality/nll.py)."""
+    scoring mode of the quality/perplexity harness (quality/nll.py). With
+    ``gather_logits=False`` at tp>1 the logits stay vocab-sharded
+    ([B, V/tp] per rank) for the distributed samplers."""
     tp = dims.tp
     pages_per_layer = kv_pool.data.shape[0] // cfg.num_layers
     hd = dims.head_dim
@@ -511,10 +514,13 @@ def decoder_forward(
     )  # [B, V/tp]
     if head_scale is not None:
         logits_local = logits_local * head_scale
-    if tp > 1:
+    if tp > 1 and gather_logits:
         logits = jax.lax.all_gather(
             logits_local, MODEL_AXIS, axis=-1, tiled=True
         )
     else:
+        # vocab-sharded [B, V/tp]: the token path reduces per-shard
+        # argmax/top-k candidates instead of gathering [B, V] over ICI
+        # (ops/sampling.py sharded samplers)
         logits = logits_local
     return logits, kv_pool

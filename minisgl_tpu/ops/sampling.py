@@ -73,3 +73,111 @@ def sample_tokens(
     unconstrained = (meta.top_k <= 0) & (meta.top_p >= 1.0)
     sampled = jnp.where(unconstrained, free_pick, cand_pick.astype(jnp.int32))
     return jnp.where(is_greedy, greedy_tokens, sampled)
+
+
+# ------------------------- TP-sharded (distributed) -------------------------
+#
+# The LM head leaves logits vocab-sharded [B, V/tp] per rank. Gathering them
+# ([B, V] bf16 ~ 38 MB/step at B=128, V=151k) just to argmax/sample wastes
+# ICI bandwidth and replicates full-vocab work on every rank; instead each
+# rank reduces its shard and only tiny per-row candidates cross the mesh
+# (the same reduction shape as the reference's vocab-parallel LM head
+# all-gather, embedding.py:102-110, but reduced before the wire).
+
+
+def _argmax_across_shards(values: jax.Array, local_arg: jax.Array,
+                          v_local: int, axis: str) -> jax.Array:
+    """Global first-max argmax over vocab-sharded rows.
+
+    values/local_arg: [B] per-shard max and its local index. Ties resolve to
+    the lowest global index (jnp.argmax semantics on the unsharded row),
+    because shards gather in axis order and argmax picks the first max.
+    """
+    shard = jax.lax.axis_index(axis).astype(jnp.int32)
+    vals = jax.lax.all_gather(values, axis)  # [tp, B]
+    idxs = jax.lax.all_gather(local_arg + shard * v_local, axis)  # [tp, B]
+    best = jnp.argmax(vals, axis=0)  # first max -> lowest shard
+    return jnp.take_along_axis(idxs, best[None, :], axis=0)[0].astype(jnp.int32)
+
+
+def greedy_sharded(logits_local: jax.Array, axis: str) -> jax.Array:
+    """argmax over vocab-sharded logits; token-exact vs the gathered path."""
+    local_arg = jnp.argmax(logits_local, axis=-1)
+    local_val = jnp.take_along_axis(
+        logits_local, local_arg[:, None], axis=-1
+    )[:, 0]
+    return _argmax_across_shards(
+        local_val, local_arg.astype(jnp.int32), logits_local.shape[-1], axis
+    )
+
+
+def sample_tokens_sharded(
+    logits_local: jax.Array,  # [B, V/tp] f32, vocab-sharded over ``axis``
+    meta: SamplingMetadata,
+    key: jax.Array,  # replicated; per-shard streams fold in the shard index
+    axis: str,
+) -> jax.Array:
+    """``sample_tokens`` on vocab-sharded logits (must run inside shard_map).
+
+    Greedy rows are token-exact vs the gathered implementation. Sampled rows
+    draw the same distribution but a different stream (independent per-shard
+    Gumbels replace one full-row draw); candidate probabilities stay EXACT —
+    the normalizer is the full-vocab logsumexp reduced across shards. The
+    result is replicated: every rank computes the same pick from identically
+    gathered candidates (multi-host lockstep safe).
+    """
+    B, Vl = logits_local.shape
+    shard = jax.lax.axis_index(axis).astype(jnp.int32)
+    greedy_tokens = greedy_sharded(logits_local, axis)
+    is_greedy = meta.temperature <= 0.0
+
+    temp = jnp.where(is_greedy, 1.0, meta.temperature)
+    scaled = logits_local / temp[:, None]
+
+    key_free, key_cand = jax.random.split(key)
+
+    # unconstrained rows: Gumbel-max distributes over shards (max of
+    # independently perturbed shards == perturbed full-row max in law)
+    g = jax.random.gumbel(
+        jax.random.fold_in(key_free, shard), scaled.shape, dtype=jnp.float32
+    )
+    perturbed = scaled + g
+    loc_arg = jnp.argmax(perturbed, axis=-1)
+    loc_val = jnp.take_along_axis(perturbed, loc_arg[:, None], axis=-1)[:, 0]
+    free_pick = _argmax_across_shards(
+        loc_val, loc_arg.astype(jnp.int32), Vl, axis
+    )
+
+    # constrained rows: the global top-kmax is a subset of the union of
+    # per-shard top-kmax candidates — gather kmax per shard, re-top_k
+    kmax = min(KMAX, Vl)
+    cl, ci = jax.lax.top_k(scaled, kmax)  # [B, kmax] local
+    ci = (ci + shard * Vl).astype(jnp.int32)
+    cl_all = jnp.moveaxis(jax.lax.all_gather(cl, axis), 0, 1).reshape(B, -1)
+    ci_all = jnp.moveaxis(jax.lax.all_gather(ci, axis), 0, 1).reshape(B, -1)
+    kk = min(KMAX, cl_all.shape[-1])
+    cand_logits, sel = jax.lax.top_k(cl_all, kk)  # [B, kk] desc
+    cand_idx = jnp.take_along_axis(ci_all, sel, axis=-1)
+
+    # exact probabilities: full-vocab logsumexp via a shard reduction
+    lse_local = jax.scipy.special.logsumexp(scaled, axis=-1)  # [B]
+    logz = jax.scipy.special.logsumexp(
+        jax.lax.all_gather(lse_local, axis), axis=0
+    )[:, None]
+
+    ranks = jnp.arange(kk, dtype=jnp.int32)[None, :]
+    k = jnp.where(meta.top_k <= 0, kk, jnp.minimum(meta.top_k, kk))[:, None]
+    topk_mask = ranks < k
+    probs = jnp.exp(cand_logits - logz)
+    cum = jnp.cumsum(probs, axis=-1) - probs
+    topp_mask = cum < meta.top_p[:, None]
+
+    masked = jnp.where(topk_mask & topp_mask, cand_logits, _NEG_INF)
+    # key_cand is replicated -> identical pick on every rank
+    gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
+    pick = jnp.argmax(masked + gumbel, axis=-1)
+    cand_pick = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
+
+    unconstrained = (meta.top_k <= 0) & (meta.top_p >= 1.0)
+    sampled = jnp.where(unconstrained, free_pick, cand_pick.astype(jnp.int32))
+    return jnp.where(is_greedy, greedy_tokens, sampled)
