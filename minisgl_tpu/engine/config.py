@@ -31,6 +31,10 @@ class EngineConfig:
     model_path: str
     tp_size: int = 1
     dp_size: int = 1
+    # dp request routing: "load" (least-loaded) | "cache" (longest radix
+    # prefix match wins; replicas own disjoint KV pools, so affinity
+    # routing preserves cache reuse)
+    dp_route: str = "load"
     dtype: str = "auto"  # auto | bfloat16 | float32
     max_running_req: int = 256
     attention_backend: str = "auto"  # auto | pallas | xla

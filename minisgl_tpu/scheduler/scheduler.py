@@ -374,7 +374,28 @@ class Scheduler(SchedulerIOMixin):
                 rep.cache_manager.cache_req(req, finished=False)
         self.send_result(reply)
 
-    def _route_replica(self) -> Replica:
+    def _route_replica(self, input_ids=None) -> Replica:
+        """Pick the dp replica for a new request.
+
+        "load" (default): least-loaded. "cache": longest radix prefix match
+        wins (each replica owns a disjoint KV pool + radix tree, so a
+        request routed away from its cached prefix recomputes it from
+        scratch); load breaks ties and takes over when nothing matches.
+        """
+        if len(self.replicas) == 1:
+            return self.replicas[0]
+        if self.config.dp_route == "cache" and input_ids is not None:
+            ids = np.asarray(input_ids, dtype=np.int32)[:-1]
+
+            def key(rep: Replica):
+                matched = (
+                    rep.cache_manager.prefix_cache.match_prefix(ids).handle.cached_len
+                    if len(ids)
+                    else 0
+                )
+                return (-matched, rep.load)
+
+            return min(self.replicas, key=key)
         return min(self.replicas, key=lambda rep: rep.load)
 
     def _process_one_msg(self, msg: BaseBackendMsg) -> None:
@@ -400,7 +421,7 @@ class Scheduler(SchedulerIOMixin):
                 return
             if msg.sampling_params.max_tokens > max_output_len:
                 msg.sampling_params.max_tokens = max_output_len
-            self._route_replica().prefill_manager.add_one_req(
+            self._route_replica(msg.input_ids).prefill_manager.add_one_req(
                 msg.uid, msg.input_ids, msg.sampling_params
             )
         elif isinstance(msg, ProfileBackendMsg):

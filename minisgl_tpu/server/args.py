@@ -44,6 +44,11 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     p.add_argument("--tp", dest="tp_size", type=int, default=1)
     p.add_argument("--dp", dest="dp_size", type=int, default=1)
     p.add_argument(
+        "--dp-route", choices=["load", "cache"], default="load",
+        help="dp replica routing: least-loaded, or radix-affinity "
+        "(longest cached prefix wins, load breaks ties)",
+    )
+    p.add_argument(
         "--dtype", choices=["auto", "bfloat16", "float32"], default="auto"
     )
     p.add_argument("--max-running-req", type=int, default=256)

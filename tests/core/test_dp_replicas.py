@@ -63,3 +63,29 @@ def test_dp2_token_exact_and_balanced(model_dir):
 def test_dp_needs_enough_devices(model_dir):
     with pytest.raises(AssertionError):
         _llm(model_dir, dp_size=64)
+
+
+def test_dp_cache_route_affinity(model_dir):
+    """Radix-affinity routing: requests sharing a cached prefix land on the
+    replica that owns it (second wave hits the cache instead of recomputing
+    on the other replica), and results stay token-exact vs dp=1."""
+    rng = np.random.default_rng(1)
+    shared_a = rng.integers(5, 250, 24).tolist()
+    shared_b = rng.integers(5, 250, 24).tolist()
+    prompts1 = [shared_a + [7], shared_b + [9]]
+    prompts2 = [shared_a + [11], shared_b + [13]]  # same prefixes, new tails
+    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    llm = _llm(model_dir, dp_size=2, dp_route="cache")
+    llm.generate(prompts1, params)
+    hit0 = llm.metrics.prefill_cached_tokens
+    llm.generate(prompts2, params)
+    hits = llm.metrics.prefill_cached_tokens - hit0
+    # both second-wave prompts must reuse their 24-token prefix
+    # (page-aligned: >= 2 full pages each)
+    assert hits >= 2 * 8, hits
+
+    ref = _llm(model_dir, dp_size=1).generate(prompts2, params)
+    got = llm.generate(prompts2, params)
+    for r, g in zip(ref, got):
+        assert r["token_ids"] == g["token_ids"]
