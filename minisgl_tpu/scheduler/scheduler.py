@@ -493,9 +493,18 @@ class Scheduler(SchedulerIOMixin):
                 metrics=self.metrics,
             )
         if batch is None:
-            # multi-step bursts only when no prefill is waiting (TTFT first)
-            k = 1 if rep.prefill_manager.runnable else self.config.decode_steps
-            batch = rep.decode_manager.schedule_next_batch(k)
+            # Reaching here means NO prefill could actually be admitted
+            # this iteration (queue empty, or blocked on slots/KV memory
+            # until running requests finish) — so burst the full K. A
+            # blocked prefill cannot start until results free resources
+            # either way; throttling to k=1 while requests merely WAIT in
+            # the queue multiplied host round trips by K for the whole run
+            # (the Llama-8B bench pathology: 64 seqs over max_running=32
+            # pinned decode at k=1, ~33 tokens/dispatch). TTFT cost is
+            # bounded by one burst: admission is re-checked next iteration.
+            batch = rep.decode_manager.schedule_next_batch(
+                self.config.decode_steps
+            )
         if batch is None:
             return None
         rep.last_phase = batch.phase

@@ -83,3 +83,31 @@ def test_prefill_first_unchanged(model_dir):
     assert any(
         a == "prefill" and b == "prefill" for a, b in zip(phases, phases[1:])
     ), phases
+
+
+def test_full_k_burst_while_prefill_blocked(model_dir):
+    """A prefill waiting on a request slot (max_running=1) must not pin
+    decode to single-step dispatches: the blocked prefill can't start until
+    the running request finishes either way, so decode bursts the full K."""
+    llm = _llm(
+        model_dir,
+        max_running_req=1,
+        decode_steps=4,
+        max_extend_tokens=64,
+    )
+    ks = []
+    orig = llm._forward
+
+    def spy(rep, batch):
+        if batch.is_decode:
+            ks.append(batch.decode_steps)
+        return orig(rep, batch)
+
+    llm._forward = spy
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    llm.generate([list(range(10, 20)), list(range(30, 40))], sp)
+    # while req 2 waits in the pending queue, req 1's decode must burst
+    # K=4 (the old policy pinned it to 1); the K=1 entries are each
+    # request's budget tail (remain < K falls back to single-step)
+    assert ks and ks[0] == 4, ks
+    assert ks.count(4) >= 4, ks
