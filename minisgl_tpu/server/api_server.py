@@ -28,6 +28,7 @@ from minisgl_tpu.message import (
     MetricsSnapshot,
     ProfileMsg,
     TokenizeMsg,
+    UserReply,
 )
 from minisgl_tpu.utils import ZmqAsyncPullQueue, ZmqAsyncPushQueue, init_logger
 
@@ -109,13 +110,73 @@ class FrontendManager:
         await self.send_queue.put(AbortMsg(uid=uid))
         self.finish_user(uid)
 
-    async def stream_replies(self, uid: int) -> AsyncIterator:
+    async def stream_replies(
+        self, uid: int, stop: Optional[List[str]] = None
+    ) -> AsyncIterator:
+        if not stop:
+            q = self.queues[uid]
+            while True:
+                reply = await q.get()
+                yield reply
+                if reply.finished:
+                    break
+            self.finish_user(uid)
+            return
+        async for reply in self._stream_with_stop(uid, stop):
+            yield reply
+
+    async def _stream_with_stop(
+        self, uid: int, stop: List[str]
+    ) -> AsyncIterator:
+        """OpenAI `stop` strings, matched on the DETOKENIZED text (stop
+        sequences cross token boundaries). The last max(len)-1 characters
+        are held back from emission so a match straddling chunk boundaries
+        is caught before any of it streams out; on match the request is
+        aborted backend-side and the final reply is truncated at the match.
+        The reference has no stop-string support; usage on a stop-truncated
+        reply counts completion tokens observed at the frontend (one
+        DetokenizeMsg per token), prompt_tokens only arrives with a natural
+        finish."""
         q = self.queues[uid]
+        hold = max(len(s) for s in stop) - 1
+        buf = ""
+        n_tokens = 0
         while True:
             reply = await q.get()
-            yield reply
-            if reply.finished:
+            n_tokens += 1
+            buf += reply.incremental_output
+            hit = -1
+            for s in stop:
+                i = buf.find(s)
+                if i != -1 and (hit == -1 or i < hit):
+                    hit = i
+            if hit != -1:
+                yield UserReply(
+                    uid=uid,
+                    incremental_output=buf[:hit],
+                    finished=True,
+                    prompt_tokens=reply.prompt_tokens,
+                    completion_tokens=reply.completion_tokens or n_tokens,
+                )
+                if not reply.finished:
+                    # backend still generating: free its resources
+                    await self.send_queue.put(AbortMsg(uid=uid))
                 break
+            if reply.finished:
+                yield UserReply(
+                    uid=uid,
+                    incremental_output=buf,
+                    finished=True,
+                    prompt_tokens=reply.prompt_tokens,
+                    completion_tokens=reply.completion_tokens,
+                )
+                break
+            safe = len(buf) - hold
+            if safe > 0:
+                out, buf = buf[:safe], buf[safe:]
+                yield UserReply(
+                    uid=uid, incremental_output=out, finished=False
+                )
         self.finish_user(uid)
 
 
@@ -148,6 +209,33 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
         max_tokens=max_tokens,
         ignore_eos=bool(body.get("ignore_eos", False)),
     )
+
+
+def _parse_stop(body: Dict[str, Any]) -> Optional[List[str]]:
+    """OpenAI `stop`: a string or up to 4 non-empty strings."""
+    stop = body.get("stop")
+    if stop is None:
+        return None
+    if isinstance(stop, str):
+        stop = [stop]
+    if (
+        not isinstance(stop, list)
+        or len(stop) > 4
+        or not all(isinstance(s, str) and s for s in stop)
+    ):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {
+                    "error": {
+                        "message": "stop must be a non-empty string or "
+                        "a list of up to 4 non-empty strings",
+                        "type": "invalid_request_error",
+                    }
+                }
+            ),
+            content_type="application/json",
+        )
+    return stop
 
 
 async def _sse_response(
@@ -203,13 +291,13 @@ def build_app(manager: FrontendManager, args) -> web.Application:
 
     app.on_startup.append(_startup)
 
-    async def _collect(uid: int, request: web.Request):
+    async def _collect(uid: int, request: web.Request, stop=None):
         """Gather the full completion + usage; abort on client disconnect
         (reference api_server.py:191-210)."""
         chunks: List[str] = []
         usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
         try:
-            async for reply in manager.stream_replies(uid):
+            async for reply in manager.stream_replies(uid, stop):
                 chunks.append(reply.incremental_output)
                 if reply.finished:
                     usage = {
@@ -244,13 +332,14 @@ def build_app(manager: FrontendManager, args) -> web.Application:
     async def generate(request: web.Request):
         body = await request.json()
         params = _parse_sampling(body.get("sampling_params") or body)
+        stop = _parse_stop(body)
         uid = manager.new_user()
         await manager.submit(
             uid, body.get("text"), params, input_ids=body.get("input_ids")
         )
         if body.get("stream"):
             async def gen():
-                async for reply in manager.stream_replies(uid):
+                async for reply in manager.stream_replies(uid, stop):
                     yield (
                         "data: "
                         + json.dumps(
@@ -264,23 +353,26 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 yield "data: [DONE]\n\n"
 
             return await _sse_response(request, gen(), manager, uid)
-        text, usage = await _collect(uid, request)
+        text, usage = await _collect(uid, request, stop)
         return web.json_response({"text": text, "usage": usage})
 
     async def completions(request: web.Request):
         body = await request.json()
         params = _parse_sampling(body)
+        stop = _parse_stop(body)
         uid = manager.new_user()
         await manager.submit(uid, body.get("prompt", ""), params)
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await _sse_response(
                 request,
-                _openai_stream(manager, uid, rid, args.model_name, "text"),
+                _openai_stream(
+                    manager, uid, rid, args.model_name, "text", stop
+                ),
                 manager,
                 uid,
             )
-        text, usage = await _collect(uid, request)
+        text, usage = await _collect(uid, request, stop)
         return web.json_response(
             {
                 "id": rid,
@@ -297,17 +389,20 @@ def build_app(manager: FrontendManager, args) -> web.Application:
     async def chat_completions(request: web.Request):
         body = await request.json()
         params = _parse_sampling(body)
+        stop = _parse_stop(body)
         uid = manager.new_user()
         await manager.submit(uid, body.get("messages", []), params)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await _sse_response(
                 request,
-                _openai_stream(manager, uid, rid, args.model_name, "chat"),
+                _openai_stream(
+                    manager, uid, rid, args.model_name, "chat", stop
+                ),
                 manager,
                 uid,
             )
-        text, usage = await _collect(uid, request)
+        text, usage = await _collect(uid, request, stop)
         return web.json_response(
             {
                 "id": rid,
@@ -358,9 +453,9 @@ def build_app(manager: FrontendManager, args) -> web.Application:
     return app
 
 
-async def _openai_stream(manager, uid, rid, model, kind):
+async def _openai_stream(manager, uid, rid, model, kind, stop=None):
     created = int(time.time())
-    async for reply in manager.stream_replies(uid):
+    async for reply in manager.stream_replies(uid, stop):
         if kind == "chat":
             chunk = {
                 "id": rid,

@@ -189,3 +189,35 @@ def test_max_tokens_zero_rejected(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_stop_string_truncates(server):
+    # learn the deterministic greedy output, then stop on a mid-output
+    # substring: the reply must cut exactly before the match and the
+    # backend request must be aborted (not run to max_tokens)
+    body = {"text": "stoptest", "max_tokens": 10, "ignore_eos": True}
+    status, full = _post(f"{server}/generate", body)
+    assert status == 200 and len(full["text"]) > 3
+    text = full["text"]
+    needle = text[len(text) // 2 : len(text) // 2 + 2]
+    status, out = _post(f"{server}/generate", {**body, "stop": needle})
+    assert status == 200
+    assert needle not in out["text"]
+    assert out["text"] == text[: text.index(needle)]
+
+
+def test_stop_invalid_is_400(server):
+    req = urllib.request.Request(
+        f"{server}/v1/chat/completions",
+        data=json.dumps(
+            {
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+                "stop": ["", "x"],
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
