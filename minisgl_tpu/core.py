@@ -31,6 +31,8 @@ class SamplingParams:
     temperature: float = 0.0
     top_k: int = -1
     top_p: float = 1.0
+    # keep candidates with prob >= min_p * max_prob (0 disables)
+    min_p: float = 0.0
     ignore_eos: bool = False
     max_tokens: int = 1024
 
@@ -171,6 +173,8 @@ class BatchMetadata:
     # true (unpadded) sizes
     num_reqs: int
     num_tokens: int
+    # [B_pad] f32; None packs as zeros (min_p disabled)
+    min_p: Optional[np.ndarray] = None
 
 
 @dataclass

@@ -108,6 +108,7 @@ def build_batch_metadata(
     temperature = np.zeros(B_pad, np.float32)
     top_k = np.full(B_pad, -1, np.int32)
     top_p = np.ones(B_pad, np.float32)
+    min_p = np.zeros(B_pad, np.float32)
     input_ids = np.zeros(T_pad, np.int32) if batch.is_prefill else None
 
     if batch.is_decode:
@@ -122,6 +123,7 @@ def build_batch_metadata(
             temperature[i] = sp.temperature
             top_k[i] = sp.top_k
             top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
         slot_ids[:B] = np.fromiter(
             (r.table_idx for r in reqs), np.int32, count=B
         )
@@ -149,6 +151,7 @@ def build_batch_metadata(
             temperature[i] = sp.temperature
             top_k[i] = sp.top_k
             top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
 
             ext = req.extend_len
             pos = np.arange(req.cached_len, req.device_len, dtype=np.int32)
@@ -184,6 +187,7 @@ def build_batch_metadata(
         temperature=temperature,
         top_k=top_k,
         top_p=top_p,
+        min_p=min_p,
         num_reqs=B,
         num_tokens=T,
     )

@@ -64,13 +64,19 @@ def sample_tokens(
     probs = jnp.exp(cand_logits - logz)  # [B, kmax]
     cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive: rank 0 always in
     topp_mask = cum < meta.top_p[:, None]
+    keep = topk_mask & topp_mask
+    if meta.min_p is not None:
+        # keep candidates with prob >= min_p * max_prob (rank 0 is the max)
+        keep &= probs >= meta.min_p[:, None] * probs[:, :1]
 
-    masked = jnp.where(topk_mask & topp_mask, cand_logits, _NEG_INF)
+    masked = jnp.where(keep, cand_logits, _NEG_INF)
     gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
     pick = jnp.argmax(masked + gumbel, axis=-1)
     cand_pick = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
 
     unconstrained = (meta.top_k <= 0) & (meta.top_p >= 1.0)
+    if meta.min_p is not None:
+        unconstrained &= meta.min_p <= 0.0
     sampled = jnp.where(unconstrained, free_pick, cand_pick.astype(jnp.int32))
     return jnp.where(is_greedy, greedy_tokens, sampled)
 
@@ -171,13 +177,18 @@ def sample_tokens_sharded(
     probs = jnp.exp(cand_logits - logz)
     cum = jnp.cumsum(probs, axis=-1) - probs
     topp_mask = cum < meta.top_p[:, None]
+    keep = topk_mask & topp_mask
+    if meta.min_p is not None:
+        keep &= probs >= meta.min_p[:, None] * probs[:, :1]
 
-    masked = jnp.where(topk_mask & topp_mask, cand_logits, _NEG_INF)
+    masked = jnp.where(keep, cand_logits, _NEG_INF)
     # key_cand is replicated -> identical pick on every rank
     gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
     pick = jnp.argmax(masked + gumbel, axis=-1)
     cand_pick = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
 
     unconstrained = (meta.top_k <= 0) & (meta.top_p >= 1.0)
+    if meta.min_p is not None:
+        unconstrained &= meta.min_p <= 0.0
     sampled = jnp.where(unconstrained, free_pick, cand_pick.astype(jnp.int32))
     return jnp.where(is_greedy, greedy_tokens, sampled)

@@ -206,6 +206,7 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
         temperature=float(0.0 if temperature is None else temperature),
         top_k=int(body.get("top_k", -1) or -1),
         top_p=float(body.get("top_p", 1.0) or 1.0),
+        min_p=float(body.get("min_p", 0.0) or 0.0),
         max_tokens=max_tokens,
         ignore_eos=bool(body.get("ignore_eos", False)),
     )

@@ -63,3 +63,32 @@ def test_mixed_greedy_and_sampled_batch():
     s = _sample_many(logits, meta, 100)
     assert (s[:, 0] == 1).all()
     assert 0.2 < (s[:, 1] == 0).mean() < 0.8  # uniform row mixes
+
+
+def test_min_p_filters_tail():
+    # probs ~ [0.64, 0.24, 0.09, 0.03]; min_p=0.3 keeps only tokens with
+    # prob >= 0.3 * 0.64 ~ 0.19 -> tokens {0, 1}
+    logits = jnp.log(jnp.asarray([[0.64, 0.24, 0.09, 0.03]]))
+    meta = SamplingMetadata(
+        temperature=jnp.asarray([1.0], jnp.float32),
+        top_k=jnp.asarray([-1], jnp.int32),
+        top_p=jnp.asarray([1.0], jnp.float32),
+        min_p=jnp.asarray([0.3], jnp.float32),
+    )
+    draws = _sample_many(logits, meta, n=300)
+    assert set(np.unique(draws)) <= {0, 1}, np.unique(draws)
+    # both surviving tokens actually get drawn
+    assert {0, 1} <= set(np.unique(draws))
+
+
+def test_min_p_zero_is_unconstrained():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    meta = SamplingMetadata(
+        temperature=jnp.asarray([1.0], jnp.float32),
+        top_k=jnp.asarray([-1], jnp.int32),
+        top_p=jnp.asarray([1.0], jnp.float32),
+        min_p=jnp.asarray([0.0], jnp.float32),
+    )
+    draws = _sample_many(logits, meta, n=400)
+    # every token reachable
+    assert {0, 1, 2, 3} <= set(np.unique(draws))

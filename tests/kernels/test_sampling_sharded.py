@@ -120,3 +120,18 @@ def test_distribution_matches_gathered_sampler(mesh_info):
     # ~ 0.59/0.36/0.22 normalized); allow generous sampling noise
     for tok in (5, 200, 450):
         assert abs(counts_s[tok] - counts_r[tok]) / n < 0.1
+
+
+def test_min_p_sharded(mesh_info):
+    logits = np.full((B, V), -20.0, np.float32)
+    logits[:, 10] = 3.0   # dominant
+    logits[:, 300] = 0.0  # prob ratio exp(-3) ~ 0.05 < min_p
+    meta = SamplingMetadata(
+        temperature=jnp.full((B,), 1.0, jnp.float32),
+        top_k=jnp.full((B,), -1, jnp.int32),
+        top_p=jnp.full((B,), 1.0, jnp.float32),
+        min_p=jnp.full((B,), 0.2, jnp.float32),
+    )
+    for seed in range(5):
+        got = _run_sharded(mesh_info, logits, meta, jax.random.PRNGKey(seed))
+        assert set(np.unique(got)) == {10}, np.unique(got)
