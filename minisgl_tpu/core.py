@@ -35,6 +35,9 @@ class SamplingParams:
     min_p: float = 0.0
     ignore_eos: bool = False
     max_tokens: int = 1024
+    # extra per-request finish tokens, checked alongside the model's EOS
+    # set (unaffected by ignore_eos, which only disables the MODEL's EOS)
+    stop_token_ids: Optional[List[int]] = None
 
     @property
     def is_greedy(self) -> bool:

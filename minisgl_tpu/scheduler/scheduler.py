@@ -59,6 +59,8 @@ from minisgl_tpu.utils import init_logger
 
 logger = init_logger(__name__, "Scheduler")
 
+_EMPTY_EOS = np.empty(0, dtype=np.int32)
+
 
 @dataclass
 class Replica:
@@ -337,8 +339,14 @@ class Scheduler(SchedulerIOMixin):
             col = tokens[:limit, i]
             n_take = limit
             finished = False
-            if not req.sampling_params.ignore_eos and self._eos_arr.size:
-                hits = np.nonzero(np.isin(col, self._eos_arr))[0]
+            sp = req.sampling_params
+            eos_arr = self._eos_arr if not sp.ignore_eos else _EMPTY_EOS
+            if sp.stop_token_ids:
+                eos_arr = np.concatenate(
+                    [eos_arr, np.asarray(sp.stop_token_ids, np.int32)]
+                )
+            if eos_arr.size:
+                hits = np.nonzero(np.isin(col, eos_arr))[0]
                 if hits.size:
                     n_take = int(hits[0]) + 1
                     finished = True

@@ -209,6 +209,11 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
         min_p=float(body.get("min_p", 0.0) or 0.0),
         max_tokens=max_tokens,
         ignore_eos=bool(body.get("ignore_eos", False)),
+        stop_token_ids=(
+            [int(t) for t in body["stop_token_ids"]]
+            if body.get("stop_token_ids")
+            else None
+        ),
     )
 
 

@@ -109,3 +109,27 @@ def test_multi_step_decode_eos_truncation(model_dir):
     first_eos = ref.index(eos)
     assert out == ref[:first_eos]
     llm_k.cache_manager.check_integrity()
+
+
+def test_stop_token_ids(model_dir):
+    from minisgl_tpu.llm import LLM
+
+    llm = LLM(
+        model_dir,
+        use_dummy_weight=False,
+        max_running_req=4,
+        max_seq_len_override=128,
+        num_page_override=128,
+        page_size=4,
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    ref = llm.generate([[5, 6, 7]], sp)[0]["token_ids"]
+    stop_tok = ref[4]
+    sp2 = SamplingParams(
+        temperature=0.0, max_tokens=12, ignore_eos=True,
+        stop_token_ids=[stop_tok],
+    )
+    out = llm.generate([[5, 6, 7]], sp2)[0]["token_ids"]
+    # finishes AT the stop token (inclusive), like an EOS hit
+    assert out == ref[: ref.index(stop_tok) + 1]
+    llm.cache_manager.check_integrity()
