@@ -3,7 +3,8 @@ test_multihost_e2e.py): one scheduler per "host", TP=2 across the two
 processes via jax.distributed over localhost, request stream lockstepped by
 the ZMQ counted broadcast (scheduler/io.py).
 
-Usage: python multihost_worker.py <node_rank> <base_port> <model_dir> [num_pages]
+Usage: python multihost_worker.py <node_rank> <base_port> <model_dir> \
+    [num_pages] [pipeline_depth] [decode_steps]
 """
 
 import os
@@ -13,6 +14,8 @@ node_rank = int(sys.argv[1])
 base_port = int(sys.argv[2])
 model_dir = sys.argv[3]
 num_pages = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+pipeline_depth = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+decode_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
@@ -38,6 +41,8 @@ config = SchedulerConfig(
     page_size=4,
     cache_type="naive",
     attention_backend="xla",
+    pipeline_depth=pipeline_depth,
+    decode_steps=decode_steps,
     num_nodes=2,
     node_rank=node_rank,
     lockstep_port=base_port,

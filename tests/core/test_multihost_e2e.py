@@ -145,3 +145,98 @@ def test_imbalanced_kv_sizing_rejected(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+def test_two_process_lockstep_pipelined(tmp_path):
+    """Lockstep x pipelined fetch x decode bursts: both hosts keep 2
+    batches in flight and fuse K=2 decode steps; tokens must still be
+    exact vs a single-process run. This is the riskiest interaction in the
+    scheduler — every host must make byte-identical scheduling decisions
+    while its result processing runs two iterations behind."""
+    from tests.helpers import save_tiny_hf_model
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    save_tiny_hf_model(model_dir, "llama")
+
+    base_port = _free_port_block()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(base_port), model_dir,
+             "128", "2", "2"],  # pages, pipeline_depth=2, decode_steps=2
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+        for rank in (0, 1)
+    ]
+    suffix = f".mh{base_port}"
+    feeder = ZmqPushQueue(f"ipc:///tmp/minisgl_tpu_0{suffix}", bind=False)
+    sink = ZmqPullQueue(f"ipc:///tmp/minisgl_tpu_1{suffix}", bind=True)
+
+    try:
+        deadline = time.time() + 240
+        msgs = [
+            UserMsg(
+                uid=uid,
+                input_ids=np.asarray(ids, np.int32),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=6, ignore_eos=True
+                ),
+            )
+            for uid, ids in ((1, [3, 5, 7, 9]), (2, [11, 13, 17]))
+        ]
+        feeder.put(BatchBackendMsg(data=msgs))
+
+        tokens = {1: [], 2: []}
+        while time.time() < deadline and (
+            len(tokens[1]) < 6 or len(tokens[2]) < 6
+        ):
+            for p in procs:
+                if p.poll() is not None:
+                    out = p.stdout.read().decode()
+                    raise RuntimeError(f"worker died:\n{out[-4000:]}")
+            batch = sink.get(block=False)
+            if batch is None:
+                time.sleep(0.5)
+                continue
+            for d in batch.data:
+                tokens[d.uid].append(d.next_token)
+        assert len(tokens[1]) == 6 and len(tokens[2]) == 6, tokens
+
+        from minisgl_tpu.llm import LLM
+
+        # reference at the SAME tp=2 sharding (different shardings sum in
+        # different orders; near-tie logits can flip greedy argmax between
+        # tp=1 and tp=2 — this test checks lockstep/pipeline semantics,
+        # so numerics must match), single process, depth 1, K=1
+        ref = LLM(
+            model_dir,
+            use_dummy_weight=True,
+            tp_size=2,
+            max_running_req=4,
+            max_seq_len_override=128,
+            num_page_override=128,
+            page_size=4,
+            cache_type="naive",
+            attention_backend="xla",
+        ).generate(
+            [[3, 5, 7, 9], [11, 13, 17]],
+            SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        )
+        assert tokens[1] == ref[0]["token_ids"], (tokens, ref)
+        assert tokens[2] == ref[1]["token_ids"], (tokens, ref)
+
+        feeder.put(BatchBackendMsg(data=[ExitMsg()]))
+        for p in procs:
+            p.wait(timeout=30)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        feeder.stop()
+        sink.stop()
