@@ -38,6 +38,9 @@ class SamplingParams:
     # extra per-request finish tokens, checked alongside the model's EOS
     # set (unaffected by ignore_eos, which only disables the MODEL's EOS)
     stop_token_ids: Optional[List[int]] = None
+    # return per-token logprobs: 0 = off, N>0 = sampled-token logprob plus
+    # the top-N alternatives (N capped at engine/step.py LOGPROBS_K)
+    logprobs: int = 0
 
     @property
     def is_greedy(self) -> bool:

@@ -47,6 +47,9 @@ logger = init_logger(__name__, "Engine")
 class ForwardOutput(NamedTuple):
     batch: Batch
     tokens: jax.Array  # [B_pad] device array (fetch one iteration later)
+    # set when the batch requested logprobs: [K, B] sampled-token logprob,
+    # [K, B, LOGPROBS_K] top token ids, [K, B, LOGPROBS_K] top logprobs
+    logprobs: Optional[tuple] = None
 
 
 class Engine:
@@ -290,8 +293,11 @@ class Engine:
 
     # ------------------------------------------------------------------ run
 
-    def _get_step_fn(self, phase: str, greedy: bool, dims, decode_steps=1):
-        key = (phase, greedy, dims, decode_steps)
+    def _get_step_fn(
+        self, phase: str, greedy: bool, dims, decode_steps=1,
+        want_logprobs=False,
+    ):
+        key = (phase, greedy, dims, decode_steps, want_logprobs)
         if key not in self._step_fns:
             logger.debug(f"building step fn {key}")
             self._step_fns[key] = build_step_fn(
@@ -302,6 +308,7 @@ class Engine:
                 greedy,
                 packed_dims=dims,
                 decode_steps=decode_steps,
+                want_logprobs=want_logprobs,
                 kv_has_scale=self.kv_scaled,
             )
         return self._step_fns[key]
@@ -327,11 +334,17 @@ class Engine:
         # multi-controller (multi-host) mode, where every host dispatches
         # the identical batch (scheduler lockstep)
         packed = jax.device_put(pack_step_meta(m), self.mesh_info.replicated)
+        want_lp = any(r.sampling_params.logprobs for r in batch.reqs)
         step = self._get_step_fn(
-            batch.phase, all_greedy(batch), dims, batch.decode_steps
+            batch.phase, all_greedy(batch), dims, batch.decode_steps,
+            want_logprobs=want_lp,
         )
         t0 = time.perf_counter()
-        self.state, tokens = step(self.params, self.state, packed)
+        if want_lp:
+            self.state, tokens, logprobs = step(self.params, self.state, packed)
+        else:
+            self.state, tokens = step(self.params, self.state, packed)
+            logprobs = None
         dt = time.perf_counter() - t0
         if dt > 1.0:  # cold-bucket compile; steady-state dispatch is ~ms
             logger.debug(f"step dispatch took {dt:.1f}s (compile?)")
@@ -339,7 +352,7 @@ class Engine:
         # engine.py:199-200)
         for req in batch.reqs:
             req.complete_k(batch.decode_steps)
-        return ForwardOutput(batch=batch, tokens=tokens)
+        return ForwardOutput(batch=batch, tokens=tokens, logprobs=logprobs)
 
     def warmup(self) -> None:
         """Precompile the decode bucket ladder + the smallest prefill bucket

@@ -50,6 +50,9 @@ KV_SCALE_P_SPEC = P(None, None, MODEL_AXIS)
 
 
 
+LOGPROBS_K = 8  # fixed top-k width of the logprobs step variant
+
+
 def build_step_fn(
     model: Model,
     mesh_info: MeshInfo,
@@ -60,6 +63,7 @@ def build_step_fn(
     packed_dims: Tuple[int, int, int] | None = None,
     decode_steps: int = 1,
     kv_has_scale: bool = False,
+    want_logprobs: bool = False,
 ):
     """Returns jitted (params, state, meta) -> (state, tokens[, logits]).
 
@@ -81,8 +85,12 @@ def build_step_fn(
     # tp > 1 token path: keep logits vocab-sharded and reduce per-shard
     # argmax/top-k candidates across the mesh instead of all-gathering
     # [B, V] (38 MB/step bf16 at B=128, V=151k) just to pick one token per
-    # row. Scoring mode (return_logits) still gathers — callers want [B, V].
-    distributed = mesh_info.tp_size > 1 and not return_logits
+    # row. Scoring mode (return_logits) still gathers — callers want
+    # [B, V] — as does the logprobs variant (rare requests; full-vocab
+    # normalization + top-k is simplest on gathered logits).
+    distributed = (
+        mesh_info.tp_size > 1 and not return_logits and not want_logprobs
+    )
 
     def _one(params, state: DeviceState, meta: StepMetadata):
         if phase == "decode":
@@ -107,24 +115,39 @@ def build_step_fn(
                 )
             else:
                 tokens = sample_tokens(logits, meta.sampling, subkey)
+        if want_logprobs:
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            lp = logits - logz  # [B, V] log-probabilities
+            top_vals, top_ids = jax.lax.top_k(lp, LOGPROBS_K)
+            tok_lp = jnp.take_along_axis(lp, tokens[:, None], axis=-1)[:, 0]
+            extras = (tok_lp, top_ids.astype(jnp.int32), top_vals)
+        else:
+            extras = None
         token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
-        return DeviceState(kv_pool, token_slots, rng), tokens, logits
+        return DeviceState(kv_pool, token_slots, rng), tokens, logits, extras
 
     def _impl(params, state: DeviceState, meta):
         if packed_dims is not None:
             B, T, PB = packed_dims
             meta = unpack_step_meta(meta, B, T, PB, phase)
         if decode_steps == 1:
-            new_state, tokens, logits = _one(params, state, meta)
+            new_state, tokens, logits, extras = _one(params, state, meta)
             if return_logits:
                 return new_state, tokens, logits
+            if want_logprobs:
+                # leading K=1 axis matches the multi-step layout
+                return new_state, tokens, tuple(
+                    e[None] for e in extras
+                )
             return new_state, tokens
 
         ps = state.kv.data.shape[1]
         K, B = decode_steps, meta.attn.seq_lens.shape[0]
 
         def body(i, carry):
-            state, toks = carry
+            state, toks, lps = carry
             pos = meta.attn.positions + i  # [B] (decode: 1 token per row)
             out_slots = (
                 jnp.take_along_axis(
@@ -141,17 +164,32 @@ def build_step_fn(
                     last_q_index=jnp.arange(B, dtype=jnp.int32),
                 )
             )
-            state, tokens, _ = _one(params, state, meta_i)
-            return state, jax.lax.dynamic_update_index_in_dim(
-                toks, tokens, i, axis=0
-            )
+            state, tokens, _, extras = _one(params, state, meta_i)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, tokens, i, axis=0)
+            if want_logprobs:
+                lps = tuple(
+                    jax.lax.dynamic_update_index_in_dim(acc, e, i, axis=0)
+                    for acc, e in zip(lps, extras)
+                )
+            return state, toks, lps
 
-        state, toks = jax.lax.fori_loop(
+        lps0 = (
+            (
+                jnp.zeros((K, B), jnp.float32),
+                jnp.zeros((K, B, LOGPROBS_K), jnp.int32),
+                jnp.zeros((K, B, LOGPROBS_K), jnp.float32),
+            )
+            if want_logprobs
+            else ()
+        )
+        state, toks, lps = jax.lax.fori_loop(
             0,
             K,
             body,
-            (state, jnp.zeros((K, B), jnp.int32)),
+            (state, jnp.zeros((K, B), jnp.int32), lps0),
         )
+        if want_logprobs:
+            return state, toks, lps
         return state, toks
 
     from minisgl_tpu.ops.kv import KV
@@ -165,7 +203,12 @@ def build_step_fn(
         token_slots=P(),
         rng=P(),
     )
-    out_specs = (sspecs, P(), P()) if return_logits else (sspecs, P())
+    if return_logits:
+        out_specs = (sspecs, P(), P())
+    elif want_logprobs:
+        out_specs = (sspecs, P(), (P(), P(), P()))
+    else:
+        out_specs = (sspecs, P())
     sharded = jax.shard_map(
         _impl,
         mesh=mesh_info.mesh,

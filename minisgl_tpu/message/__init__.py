@@ -5,7 +5,7 @@ frontend 20-28)."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Union
+from typing import List, Optional, Union
 
 import numpy as np
 
@@ -116,6 +116,11 @@ class DetokenizeMsg:
     # client-disconnect abort: the detokenizer drops its per-uid streaming
     # state and emits no reply (nobody is listening)
     aborted: bool = False
+    # when the request asked for logprobs: this token's logprob and the
+    # top-N alternative (token id, logprob) pairs
+    logprob: Optional[float] = None
+    top_ids: Optional[List[int]] = None
+    top_logprobs: Optional[List[float]] = None
 
 
 @register_msg
@@ -149,6 +154,10 @@ class UserReply(BaseFrontendMsg):
     finished: bool
     prompt_tokens: int = 0
     completion_tokens: int = 0
+    # when logprobs were requested: OpenAI-shaped entry for THIS token —
+    # {"token": str, "logprob": float,
+    #  "top_logprobs": [{"token": str, "logprob": float}, ...]}
+    logprobs: Optional[dict] = None
 
 
 @register_msg

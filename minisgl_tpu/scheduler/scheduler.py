@@ -62,6 +62,16 @@ logger = init_logger(__name__, "Scheduler")
 _EMPTY_EOS = np.empty(0, dtype=np.int32)
 
 
+def _fetch_output(output: ForwardOutput):
+    """Blocking host fetch of a step's tokens (+ logprobs when requested).
+    Runs on the fetch pool from dispatch time (see Scheduler._forward)."""
+    tokens = np.asarray(output.tokens)
+    lp = None
+    if output.logprobs is not None:
+        lp = tuple(np.asarray(a) for a in output.logprobs)
+    return tokens, lp
+
+
 @dataclass
 class Replica:
     """One data-parallel serving replica: engine + all per-replica state."""
@@ -306,8 +316,8 @@ class Scheduler(SchedulerIOMixin):
         # (reference scheduler.py:142 copy_done.synchronize()); with a
         # fetch pool the transfer has been running since dispatch
         t0 = time.perf_counter()
-        tokens = future.result() if future is not None else np.asarray(
-            output.tokens
+        tokens, lp = (
+            future.result() if future is not None else _fetch_output(output)
         )
         if tokens.ndim == 1:  # single-step: [B] -> [1, B]
             tokens = tokens[None, :]
@@ -354,19 +364,23 @@ class Scheduler(SchedulerIOMixin):
             req.append_host_many(col)
             finished |= req.num_output_tokens >= req.output_len
             last = n_take - 1
+            n_lp = min(sp.logprobs, 0 if lp is None else lp[1].shape[-1])
             for j, next_token in enumerate(col.tolist()):
                 fin = finished and j == last
-                reply.append(
-                    DetokenizeMsg(
-                        uid=req.uid,
-                        next_token=next_token,
-                        finished=fin,
-                        prompt_tokens=req.prompt_len if fin else 0,
-                        completion_tokens=(
-                            req.num_output_tokens if fin else 0
-                        ),
-                    )
+                msg = DetokenizeMsg(
+                    uid=req.uid,
+                    next_token=next_token,
+                    finished=fin,
+                    prompt_tokens=req.prompt_len if fin else 0,
+                    completion_tokens=(
+                        req.num_output_tokens if fin else 0
+                    ),
                 )
+                if n_lp:
+                    msg.logprob = float(lp[0][j, i])
+                    msg.top_ids = lp[1][j, i, :n_lp].tolist()
+                    msg.top_logprobs = lp[2][j, i, :n_lp].tolist()
+                reply.append(msg)
             if finished:
                 # discard device-side tokens past the finish point
                 req.clamp_to_host()
@@ -548,7 +562,7 @@ class Scheduler(SchedulerIOMixin):
         except AttributeError:
             pass  # non-jax.Array stand-ins in tests
         future = (
-            self._fetch_pool.submit(np.asarray, output.tokens)
+            self._fetch_pool.submit(_fetch_output, output)
             if self._fetch_pool is not None
             else None
         )

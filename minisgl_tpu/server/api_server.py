@@ -157,6 +157,7 @@ class FrontendManager:
                     finished=True,
                     prompt_tokens=reply.prompt_tokens,
                     completion_tokens=reply.completion_tokens or n_tokens,
+                    logprobs=reply.logprobs,
                 )
                 if not reply.finished:
                     # backend still generating: free its resources
@@ -169,13 +170,15 @@ class FrontendManager:
                     finished=True,
                     prompt_tokens=reply.prompt_tokens,
                     completion_tokens=reply.completion_tokens,
+                    logprobs=reply.logprobs,
                 )
                 break
             safe = len(buf) - hold
             if safe > 0:
                 out, buf = buf[:safe], buf[safe:]
                 yield UserReply(
-                    uid=uid, incremental_output=out, finished=False
+                    uid=uid, incremental_output=out, finished=False,
+                    logprobs=reply.logprobs,
                 )
         self.finish_user(uid)
 
@@ -201,8 +204,17 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
             ),
             content_type="application/json",
         )
+    # logprobs: chat style (logprobs: true + top_logprobs: N) or legacy
+    # completions style (logprobs: N). Internal value = number of top
+    # alternatives returned alongside the sampled token's logprob.
+    lp = body.get("logprobs")
+    if isinstance(lp, bool):
+        n_lp = max(1, int(body.get("top_logprobs") or 0)) if lp else 0
+    else:
+        n_lp = int(lp or 0)
     temperature = body.get("temperature")
     return SamplingParams(
+        logprobs=n_lp,
         temperature=float(0.0 if temperature is None else temperature),
         top_k=int(body.get("top_k", -1) or -1),
         top_p=float(body.get("top_p", 1.0) or 1.0),
@@ -298,13 +310,17 @@ def build_app(manager: FrontendManager, args) -> web.Application:
     app.on_startup.append(_startup)
 
     async def _collect(uid: int, request: web.Request, stop=None):
-        """Gather the full completion + usage; abort on client disconnect
-        (reference api_server.py:191-210)."""
+        """Gather the full completion + usage (+ per-token logprob
+        entries); abort on client disconnect (reference
+        api_server.py:191-210)."""
         chunks: List[str] = []
+        lps: List[dict] = []
         usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
         try:
             async for reply in manager.stream_replies(uid, stop):
                 chunks.append(reply.incremental_output)
+                if reply.logprobs is not None:
+                    lps.append(reply.logprobs)
                 if reply.finished:
                     usage = {
                         "prompt_tokens": reply.prompt_tokens,
@@ -315,7 +331,7 @@ def build_app(manager: FrontendManager, args) -> web.Application:
         except asyncio.CancelledError:
             await manager.abort(uid)
             raise
-        return "".join(chunks), usage
+        return "".join(chunks), usage, lps
 
     async def health(request):
         return web.json_response({"status": "ok"})
@@ -359,8 +375,11 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 yield "data: [DONE]\n\n"
 
             return await _sse_response(request, gen(), manager, uid)
-        text, usage = await _collect(uid, request, stop)
-        return web.json_response({"text": text, "usage": usage})
+        text, usage, lps = await _collect(uid, request, stop)
+        out = {"text": text, "usage": usage}
+        if lps:
+            out["logprobs"] = lps
+        return web.json_response(out)
 
     async def completions(request: web.Request):
         body = await request.json()
@@ -378,16 +397,25 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 manager,
                 uid,
             )
-        text, usage = await _collect(uid, request, stop)
+        text, usage, lps = await _collect(uid, request, stop)
+        choice = {"index": 0, "text": text, "finish_reason": "stop"}
+        if lps:
+            # legacy completions logprobs shape
+            choice["logprobs"] = {
+                "tokens": [e["token"] for e in lps],
+                "token_logprobs": [e["logprob"] for e in lps],
+                "top_logprobs": [
+                    {t["token"]: t["logprob"] for t in e["top_logprobs"]}
+                    for e in lps
+                ],
+            }
         return web.json_response(
             {
                 "id": rid,
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": args.model_name,
-                "choices": [
-                    {"index": 0, "text": text, "finish_reason": "stop"}
-                ],
+                "choices": [choice],
                 "usage": usage,
             }
         )
@@ -408,20 +436,21 @@ def build_app(manager: FrontendManager, args) -> web.Application:
                 manager,
                 uid,
             )
-        text, usage = await _collect(uid, request, stop)
+        text, usage, lps = await _collect(uid, request, stop)
+        choice = {
+            "index": 0,
+            "message": {"role": "assistant", "content": text},
+            "finish_reason": "stop",
+        }
+        if lps:
+            choice["logprobs"] = {"content": lps}
         return web.json_response(
             {
                 "id": rid,
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": args.model_name,
-                "choices": [
-                    {
-                        "index": 0,
-                        "message": {"role": "assistant", "content": text},
-                        "finish_reason": "stop",
-                    }
-                ],
+                "choices": [choice],
                 "usage": usage,
             }
         )
@@ -463,18 +492,19 @@ async def _openai_stream(manager, uid, rid, model, kind, stop=None):
     created = int(time.time())
     async for reply in manager.stream_replies(uid, stop):
         if kind == "chat":
+            choice = {
+                "index": 0,
+                "delta": {"content": reply.incremental_output},
+                "finish_reason": "stop" if reply.finished else None,
+            }
+            if reply.logprobs is not None:
+                choice["logprobs"] = {"content": [reply.logprobs]}
             chunk = {
                 "id": rid,
                 "object": "chat.completion.chunk",
                 "created": created,
                 "model": model,
-                "choices": [
-                    {
-                        "index": 0,
-                        "delta": {"content": reply.incremental_output},
-                        "finish_reason": "stop" if reply.finished else None,
-                    }
-                ],
+                "choices": [choice],
             }
         else:
             chunk = {

@@ -92,7 +92,8 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
 
     _watch_parent()
 
-    manager = DetokenizeManager(cached_load_tokenizer(args.model_path))
+    tokenizer = cached_load_tokenizer(args.model_path)
+    manager = DetokenizeManager(tokenizer)
     recv: ZmqPullQueue[BatchDetokenizeMsg] = ZmqPullQueue(
         args.zmq_detokenizer_addr, bind=True
     )
@@ -115,6 +116,24 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
                     text = manager.detokenize(
                         msg.uid, msg.next_token, msg.finished
                     )
+                    lp = None
+                    if msg.logprob is not None:
+                        # OpenAI logprobs entry for this token; alternative
+                        # token ids render standalone (decode of one id)
+                        lp = {
+                            "token": tokenizer.decode([msg.next_token]),
+                            "logprob": msg.logprob,
+                            "top_logprobs": [
+                                {
+                                    "token": tokenizer.decode([t]),
+                                    "logprob": v,
+                                }
+                                for t, v in zip(
+                                    msg.top_ids or [],
+                                    msg.top_logprobs or [],
+                                )
+                            ],
+                        }
                     replies.append(
                         UserReply(
                             uid=msg.uid,
@@ -122,6 +141,7 @@ def detokenize_worker(args: "ServerArgs", ack_queue) -> None:
                             finished=msg.finished,
                             prompt_tokens=msg.prompt_tokens,
                             completion_tokens=msg.completion_tokens,
+                            logprobs=lp,
                         )
                     )
             if replies:

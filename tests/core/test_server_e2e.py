@@ -221,3 +221,49 @@ def test_stop_invalid_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_chat_logprobs(server):
+    status, out = _post(
+        f"{server}/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+            "ignore_eos": True,
+            "logprobs": True,
+            "top_logprobs": 2,
+        },
+    )
+    assert status == 200
+    content = out["choices"][0]["logprobs"]["content"]
+    assert len(content) == 4
+    for e in content:
+        assert isinstance(e["token"], str)
+        assert e["logprob"] <= 0.0
+        assert len(e["top_logprobs"]) == 2
+        # greedy: the sampled token IS the top-1 candidate
+        assert abs(e["top_logprobs"][0]["logprob"] - e["logprob"]) < 1e-4
+        # top list is sorted descending
+        assert (
+            e["top_logprobs"][0]["logprob"]
+            >= e["top_logprobs"][1]["logprob"]
+        )
+
+
+def test_completions_legacy_logprobs(server):
+    status, out = _post(
+        f"{server}/v1/completions",
+        {
+            "prompt": "hello",
+            "max_tokens": 3,
+            "ignore_eos": True,
+            "logprobs": 2,
+        },
+    )
+    assert status == 200
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == 3
+    assert len(lp["token_logprobs"]) == 3
+    # two alternatives per position (distinct ids may decode to the same
+    # string in the byte-level fixture tokenizer, collapsing dict keys)
+    assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
