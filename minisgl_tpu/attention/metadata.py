@@ -54,6 +54,8 @@ class SamplingMetadata(NamedTuple):
     # [B] f32: keep candidates with prob >= min_p * max_prob; None or 0
     # disables (None only from direct constructors, the wire always ships it)
     min_p: Optional[jax.Array] = None
+    # [B] int32 per-request sampling seed; 0 = unseeded (global stream)
+    seed: Optional[jax.Array] = None
 
 
 class StepMetadata(NamedTuple):
@@ -76,12 +78,12 @@ class StepMetadata(NamedTuple):
 # (B, T, PB, phase) bucket):
 #   out_slots[T] positions[T] q_req_ids[T] (input_ids[T] prefill only)
 #   slot_ids[B] seq_lens[B] last_q_index[B] top_k[B]
-#   temperature_bits[B] top_p_bits[B] min_p_bits[B] cu_q_lens[B+1] num_seqs[1]
-#   page_table[B*PB]
+#   temperature_bits[B] top_p_bits[B] min_p_bits[B] seed[B]
+#   cu_q_lens[B+1] num_seqs[1] page_table[B*PB]
 
 
 def packed_len(B: int, T: int, PB: int, has_input_ids: bool) -> int:
-    return (4 if has_input_ids else 3) * T + 7 * B + (B + 1) + 1 + B * PB
+    return (4 if has_input_ids else 3) * T + 8 * B + (B + 1) + 1 + B * PB
 
 
 def pack_step_meta(m) -> "np.ndarray":
@@ -104,6 +106,11 @@ def pack_step_meta(m) -> "np.ndarray":
             else np.zeros_like(m.top_p, np.float32),
             np.float32,
         ).view(np.int32),
+        (
+            m.seed
+            if getattr(m, "seed", None) is not None
+            else np.zeros(len(m.top_k), np.int32)
+        ),
         m.cu_q_lens,
         np.asarray([m.num_reqs], np.int32),
         m.page_table.reshape(-1),
@@ -136,6 +143,7 @@ def unpack_step_meta(
     temperature = jax.lax.bitcast_convert_type(take(B), jnp.float32)
     top_p = jax.lax.bitcast_convert_type(take(B), jnp.float32)
     min_p = jax.lax.bitcast_convert_type(take(B), jnp.float32)
+    seed = take(B)
     cu_q_lens = take(B + 1)
     num_seqs = take(1)
     page_table = take(B * PB).reshape(B, PB)
@@ -151,7 +159,8 @@ def unpack_step_meta(
             num_seqs=num_seqs,
         ),
         sampling=SamplingMetadata(
-            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p
+            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+            seed=seed,
         ),
         slot_ids=slot_ids,
         input_ids=input_ids,

@@ -41,6 +41,10 @@ class SamplingParams:
     # return per-token logprobs: 0 = off, N>0 = sampled-token logprob plus
     # the top-N alternatives (N capped at engine/step.py LOGPROBS_K)
     logprobs: int = 0
+    # 0 = unseeded (global stream). Non-zero: this request's sampling
+    # stream derives only from (seed, token position) — reproducible
+    # regardless of batch composition or scheduling order
+    seed: int = 0
 
     @property
     def is_greedy(self) -> bool:
@@ -181,6 +185,8 @@ class BatchMetadata:
     num_tokens: int
     # [B_pad] f32; None packs as zeros (min_p disabled)
     min_p: Optional[np.ndarray] = None
+    # [B_pad] int32; None packs as zeros (unseeded)
+    seed: Optional[np.ndarray] = None
 
 
 @dataclass

@@ -109,6 +109,7 @@ def build_batch_metadata(
     top_k = np.full(B_pad, -1, np.int32)
     top_p = np.ones(B_pad, np.float32)
     min_p = np.zeros(B_pad, np.float32)
+    seed = np.zeros(B_pad, np.int32)
     input_ids = np.zeros(T_pad, np.int32) if batch.is_prefill else None
 
     if batch.is_decode:
@@ -124,6 +125,7 @@ def build_batch_metadata(
             top_k[i] = sp.top_k
             top_p[i] = sp.top_p
             min_p[i] = sp.min_p
+            seed[i] = sp.seed
         slot_ids[:B] = np.fromiter(
             (r.table_idx for r in reqs), np.int32, count=B
         )
@@ -152,6 +154,7 @@ def build_batch_metadata(
             top_k[i] = sp.top_k
             top_p[i] = sp.top_p
             min_p[i] = sp.min_p
+            seed[i] = sp.seed
 
             ext = req.extend_len
             pos = np.arange(req.cached_len, req.device_len, dtype=np.int32)
@@ -188,6 +191,7 @@ def build_batch_metadata(
         top_k=top_k,
         top_p=top_p,
         min_p=min_p,
+        seed=seed,
         num_reqs=B,
         num_tokens=T,
     )

@@ -109,12 +109,18 @@ def build_step_fn(
             rng = state.rng
         else:
             rng, subkey = jax.random.split(state.rng)
+            # position of each row's sampled token (seq_lens counts this
+            # step's tokens): drives per-request seeded sampling streams
+            sample_pos = meta.attn.seq_lens - 1
             if distributed:
                 tokens = sample_tokens_sharded(
-                    logits, meta.sampling, subkey, MODEL_AXIS
+                    logits, meta.sampling, subkey, MODEL_AXIS,
+                    positions=sample_pos,
                 )
             else:
-                tokens = sample_tokens(logits, meta.sampling, subkey)
+                tokens = sample_tokens(
+                    logits, meta.sampling, subkey, positions=sample_pos
+                )
         if want_logprobs:
             logz = jax.scipy.special.logsumexp(
                 logits.astype(jnp.float32), axis=-1, keepdims=True

@@ -31,10 +31,27 @@ _NEG_INF = -1e30
 KMAX = 64
 
 
+def _row_keys(
+    meta: SamplingMetadata, positions: jax.Array, base: jax.Array, B: int
+) -> jax.Array:
+    """[B, 2] per-row PRNG keys. Seeded rows (seed != 0) derive ONLY from
+    (seed, token position): the stream is reproducible regardless of batch
+    composition, scheduling order, or the global RNG state (OpenAI `seed`
+    semantics). Unseeded rows fold the step's base subkey with their row."""
+    seeded = jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p)
+    )(meta.seed, positions)
+    unseeded = jax.vmap(lambda r: jax.random.fold_in(base, r))(
+        jnp.arange(B, dtype=jnp.uint32)
+    )
+    return jnp.where((meta.seed != 0)[:, None], seeded, unseeded)
+
+
 def sample_tokens(
     logits: jax.Array,  # [B, V] f32
     meta: SamplingMetadata,
     key: jax.Array,
+    positions: jax.Array | None = None,  # [B] sampled-token positions
 ) -> jax.Array:
     B, V = logits.shape
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -46,8 +63,17 @@ def sample_tokens(
 
     key_free, key_cand = jax.random.split(key)
 
+    per_row = meta.seed is not None and positions is not None
+    if per_row:
+        keys = _row_keys(meta, positions, key_free, B)
+        gumbel_full = jax.vmap(
+            lambda k: jax.random.gumbel(k, (V,), dtype=jnp.float32)
+        )(keys)
+    else:
+        gumbel_full = jax.random.gumbel(
+            key_free, scaled.shape, dtype=jnp.float32
+        )
     # exact, sort-free path for unconstrained rows: Gumbel-max over the row
-    gumbel_full = jax.random.gumbel(key_free, scaled.shape, dtype=jnp.float32)
     free_pick = jnp.argmax(scaled + gumbel_full, axis=-1).astype(jnp.int32)
 
     # constrained path: bounded candidate set + exact probabilities
@@ -70,7 +96,13 @@ def sample_tokens(
         keep &= probs >= meta.min_p[:, None] * probs[:, :1]
 
     masked = jnp.where(keep, cand_logits, _NEG_INF)
-    gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
+    if per_row:
+        cand_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (masked.shape[-1],), jnp.float32)
+        )(cand_keys)
+    else:
+        gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
     pick = jnp.argmax(masked + gumbel, axis=-1)
     cand_pick = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
 
@@ -122,6 +154,7 @@ def sample_tokens_sharded(
     meta: SamplingMetadata,
     key: jax.Array,  # replicated; per-shard streams fold in the shard index
     axis: str,
+    positions: jax.Array | None = None,  # [B] sampled-token positions
 ) -> jax.Array:
     """``sample_tokens`` on vocab-sharded logits (must run inside shard_map).
 
@@ -144,9 +177,20 @@ def sample_tokens_sharded(
 
     # unconstrained rows: Gumbel-max distributes over shards (max of
     # independently perturbed shards == perturbed full-row max in law)
-    g = jax.random.gumbel(
-        jax.random.fold_in(key_free, shard), scaled.shape, dtype=jnp.float32
-    )
+    per_row = meta.seed is not None and positions is not None
+    if per_row:
+        keys = _row_keys(meta, positions, key_free, B)
+        g = jax.vmap(
+            lambda k: jax.random.gumbel(
+                jax.random.fold_in(k, shard), (Vl,), dtype=jnp.float32
+            )
+        )(keys)
+    else:
+        g = jax.random.gumbel(
+            jax.random.fold_in(key_free, shard),
+            scaled.shape,
+            dtype=jnp.float32,
+        )
     perturbed = scaled + g
     loc_arg = jnp.argmax(perturbed, axis=-1)
     loc_val = jnp.take_along_axis(perturbed, loc_arg[:, None], axis=-1)[:, 0]
@@ -182,8 +226,14 @@ def sample_tokens_sharded(
         keep &= probs >= meta.min_p[:, None] * probs[:, :1]
 
     masked = jnp.where(keep, cand_logits, _NEG_INF)
-    # key_cand is replicated -> identical pick on every rank
-    gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
+    # replicated keys -> identical pick on every rank
+    if per_row:
+        cand_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (masked.shape[-1],), jnp.float32)
+        )(cand_keys)
+    else:
+        gumbel = jax.random.gumbel(key_cand, masked.shape, dtype=jnp.float32)
     pick = jnp.argmax(masked + gumbel, axis=-1)
     cand_pick = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
 

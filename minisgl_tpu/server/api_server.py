@@ -215,6 +215,7 @@ def _parse_sampling(body: Dict[str, Any]) -> SamplingParams:
     temperature = body.get("temperature")
     return SamplingParams(
         logprobs=n_lp,
+        seed=int(body.get("seed", 0) or 0),
         temperature=float(0.0 if temperature is None else temperature),
         top_k=int(body.get("top_k", -1) or -1),
         top_p=float(body.get("top_p", 1.0) or 1.0),
