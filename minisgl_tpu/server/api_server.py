@@ -257,11 +257,30 @@ def _parse_stop(body: Dict[str, Any]) -> Optional[List[str]]:
     return stop
 
 
+def _parse_n(body: Dict[str, Any]) -> int:
+    """OpenAI `n`: number of choices (each is its own backend request; the
+    radix cache dedups their shared prompt KV)."""
+    n = body.get("n", 1)
+    if not isinstance(n, int) or not (1 <= n <= 8):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {
+                    "error": {
+                        "message": "n must be an integer in [1, 8]",
+                        "type": "invalid_request_error",
+                    }
+                }
+            ),
+            content_type="application/json",
+        )
+    return n
+
+
 async def _sse_response(
     request: web.Request,
     gen: AsyncIterator[str],
     manager: "FrontendManager" = None,
-    uid: int = None,
+    uid=None,
 ):
     resp = web.StreamResponse(
         headers={
@@ -278,7 +297,8 @@ async def _sse_response(
         # client went away mid-stream: stop generating server-side
         # (reference api_server.py:191-210)
         if manager is not None and uid is not None:
-            await manager.abort(uid)
+            for u in uid if isinstance(uid, list) else [uid]:
+                await manager.abort(u)
         raise
     await resp.write_eof()
     return resp
@@ -382,41 +402,61 @@ def build_app(manager: FrontendManager, args) -> web.Application:
             out["logprobs"] = lps
         return web.json_response(out)
 
+    async def _collect_n(uids, request, stop):
+        """n choices gathered concurrently; usage counts the prompt once
+        and sums completions (OpenAI semantics)."""
+        results = await asyncio.gather(
+            *(_collect(u, request, stop) for u in uids)
+        )
+        usage = {
+            "prompt_tokens": results[0][1]["prompt_tokens"],
+            "completion_tokens": sum(r[1]["completion_tokens"] for r in results),
+        }
+        usage["total_tokens"] = (
+            usage["prompt_tokens"] + usage["completion_tokens"]
+        )
+        return results, usage
+
     async def completions(request: web.Request):
         body = await request.json()
         params = _parse_sampling(body)
         stop = _parse_stop(body)
-        uid = manager.new_user()
-        await manager.submit(uid, body.get("prompt", ""), params)
+        n = _parse_n(body)
+        uids = [manager.new_user() for _ in range(n)]
+        for uid in uids:
+            await manager.submit(uid, body.get("prompt", ""), params)
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await _sse_response(
                 request,
                 _openai_stream(
-                    manager, uid, rid, args.model_name, "text", stop
+                    manager, uids, rid, args.model_name, "text", stop
                 ),
                 manager,
-                uid,
+                uids,
             )
-        text, usage, lps = await _collect(uid, request, stop)
-        choice = {"index": 0, "text": text, "finish_reason": "stop"}
-        if lps:
-            # legacy completions logprobs shape
-            choice["logprobs"] = {
-                "tokens": [e["token"] for e in lps],
-                "token_logprobs": [e["logprob"] for e in lps],
-                "top_logprobs": [
-                    {t["token"]: t["logprob"] for t in e["top_logprobs"]}
-                    for e in lps
-                ],
-            }
+        results, usage = await _collect_n(uids, request, stop)
+        choices = []
+        for i, (text, _, lps) in enumerate(results):
+            choice = {"index": i, "text": text, "finish_reason": "stop"}
+            if lps:
+                # legacy completions logprobs shape
+                choice["logprobs"] = {
+                    "tokens": [e["token"] for e in lps],
+                    "token_logprobs": [e["logprob"] for e in lps],
+                    "top_logprobs": [
+                        {t["token"]: t["logprob"] for t in e["top_logprobs"]}
+                        for e in lps
+                    ],
+                }
+            choices.append(choice)
         return web.json_response(
             {
                 "id": rid,
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": args.model_name,
-                "choices": [choice],
+                "choices": choices,
                 "usage": usage,
             }
         )
@@ -425,33 +465,38 @@ def build_app(manager: FrontendManager, args) -> web.Application:
         body = await request.json()
         params = _parse_sampling(body)
         stop = _parse_stop(body)
-        uid = manager.new_user()
-        await manager.submit(uid, body.get("messages", []), params)
+        n = _parse_n(body)
+        uids = [manager.new_user() for _ in range(n)]
+        for uid in uids:
+            await manager.submit(uid, body.get("messages", []), params)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await _sse_response(
                 request,
                 _openai_stream(
-                    manager, uid, rid, args.model_name, "chat", stop
+                    manager, uids, rid, args.model_name, "chat", stop
                 ),
                 manager,
-                uid,
+                uids,
             )
-        text, usage, lps = await _collect(uid, request, stop)
-        choice = {
-            "index": 0,
-            "message": {"role": "assistant", "content": text},
-            "finish_reason": "stop",
-        }
-        if lps:
-            choice["logprobs"] = {"content": lps}
+        results, usage = await _collect_n(uids, request, stop)
+        choices = []
+        for i, (text, _, lps) in enumerate(results):
+            choice = {
+                "index": i,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop",
+            }
+            if lps:
+                choice["logprobs"] = {"content": lps}
+            choices.append(choice)
         return web.json_response(
             {
                 "id": rid,
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": args.model_name,
-                "choices": [choice],
+                "choices": choices,
                 "usage": usage,
             }
         )
@@ -490,39 +535,64 @@ def build_app(manager: FrontendManager, args) -> web.Application:
 
 
 async def _openai_stream(manager, uid, rid, model, kind, stop=None):
+    """SSE chunk stream over one or more choice uids (OpenAI `n`): each
+    chunk carries its choice index; [DONE] after every choice finishes."""
+    uids = uid if isinstance(uid, list) else [uid]
     created = int(time.time())
-    async for reply in manager.stream_replies(uid, stop):
-        if kind == "chat":
-            choice = {
-                "index": 0,
-                "delta": {"content": reply.incremental_output},
-                "finish_reason": "stop" if reply.finished else None,
-            }
-            if reply.logprobs is not None:
-                choice["logprobs"] = {"content": [reply.logprobs]}
-            chunk = {
-                "id": rid,
-                "object": "chat.completion.chunk",
-                "created": created,
-                "model": model,
-                "choices": [choice],
-            }
-        else:
-            chunk = {
-                "id": rid,
-                "object": "text_completion",
-                "created": created,
-                "model": model,
-                "choices": [
-                    {
-                        "index": 0,
-                        "text": reply.incremental_output,
-                        "finish_reason": "stop" if reply.finished else None,
-                    }
-                ],
-            }
-        yield "data: " + json.dumps(chunk) + "\n\n"
-    yield "data: [DONE]\n\n"
+    q: asyncio.Queue = asyncio.Queue()
+
+    async def pump(i: int, u: int) -> None:
+        async for reply in manager.stream_replies(u, stop):
+            await q.put((i, reply))
+        await q.put((i, None))
+
+    tasks = [
+        asyncio.get_running_loop().create_task(pump(i, u))
+        for i, u in enumerate(uids)
+    ]
+    done = 0
+    try:
+        while done < len(uids):
+            i, reply = await q.get()
+            if reply is None:
+                done += 1
+                continue
+            if kind == "chat":
+                choice = {
+                    "index": i,
+                    "delta": {"content": reply.incremental_output},
+                    "finish_reason": "stop" if reply.finished else None,
+                }
+                if reply.logprobs is not None:
+                    choice["logprobs"] = {"content": [reply.logprobs]}
+                chunk = {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model,
+                    "choices": [choice],
+                }
+            else:
+                chunk = {
+                    "id": rid,
+                    "object": "text_completion",
+                    "created": created,
+                    "model": model,
+                    "choices": [
+                        {
+                            "index": i,
+                            "text": reply.incremental_output,
+                            "finish_reason": (
+                                "stop" if reply.finished else None
+                            ),
+                        }
+                    ],
+                }
+            yield "data: " + json.dumps(chunk) + "\n\n"
+        yield "data: [DONE]\n\n"
+    finally:
+        for t in tasks:
+            t.cancel()
 
 
 def run_api_server(manager: FrontendManager, args) -> None:

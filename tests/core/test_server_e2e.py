@@ -267,3 +267,72 @@ def test_completions_legacy_logprobs(server):
     # two alternatives per position (distinct ids may decode to the same
     # string in the byte-level fixture tokenizer, collapsing dict keys)
     assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
+
+
+def test_n_choices(server):
+    status, out = _post(
+        f"{server}/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+            "ignore_eos": True,
+            "temperature": 0.9,
+            "n": 3,
+        },
+    )
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    assert all(
+        isinstance(c["message"]["content"], str) for c in out["choices"]
+    )
+    u = out["usage"]
+    assert u["completion_tokens"] == 12  # 3 choices x 4 tokens
+    assert u["total_tokens"] == u["prompt_tokens"] + 12
+
+
+def test_n_invalid_is_400(server):
+    req = urllib.request.Request(
+        f"{server}/v1/chat/completions",
+        data=json.dumps(
+            {
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+                "n": 0,
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
+def test_n_streaming_indices(server):
+    body = json.dumps(
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3,
+            "ignore_eos": True,
+            "temperature": 0.9,
+            "n": 2,
+            "stream": True,
+        }
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/v1/chat/completions",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    seen = set()
+    finished = set()
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            c = json.loads(line[6:])["choices"][0]
+            seen.add(c["index"])
+            if c["finish_reason"] == "stop":
+                finished.add(c["index"])
+    assert seen == {0, 1}
+    assert finished == {0, 1}
