@@ -9,7 +9,7 @@ virtual send hook, and drains the loop via RequestAllFinished.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -29,6 +29,8 @@ class RequestStatus:
     uid: int
     input_ids: List[int]
     output_ids: List[int]
+    # per-token (logprob, [(token_id, logprob), ...]) when requested
+    logprobs: Optional[List[tuple]] = None
 
 
 Prompt = Union[str, List[int]]
@@ -83,6 +85,15 @@ class LLM(Scheduler):
             status = self.status_map[msg.uid]
             if not (msg.finished and msg.next_token in self.eos_token_ids):
                 status.output_ids.append(msg.next_token)
+                if msg.logprob is not None:
+                    if status.logprobs is None:
+                        status.logprobs = []
+                    status.logprobs.append(
+                        (
+                            msg.logprob,
+                            list(zip(msg.top_ids or [], msg.top_logprobs or [])),
+                        )
+                    )
 
     def generate(
         self,
@@ -108,5 +119,10 @@ class LLM(Scheduler):
                 if self.tokenizer is not None
                 else ""
             )
-            results.append({"text": text, "token_ids": status.output_ids})
+            out: Dict[str, Union[str, List[int], list]] = {
+                "text": text, "token_ids": status.output_ids
+            }
+            if status.logprobs is not None:
+                out["logprobs"] = status.logprobs
+            results.append(out)
         return results

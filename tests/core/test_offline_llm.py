@@ -93,3 +93,26 @@ def test_sampling_params_accepted(tiny_model, llm):
         SamplingParams(max_tokens=4, temperature=0.8, top_k=20, top_p=0.9, ignore_eos=True),
     )
     assert len(out[0]["token_ids"]) == 4
+
+
+def test_offline_logprobs(tiny_model):
+    from minisgl_tpu.llm import LLM
+
+    llm = LLM(
+        tiny_model[0],
+        use_dummy_weight=False,
+        max_running_req=4,
+        max_seq_len_override=128,
+        num_page_override=128,
+        page_size=4,
+    )
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=5, ignore_eos=True, logprobs=3
+    )
+    out = llm.generate([[5, 6, 7]], sp)[0]
+    assert len(out["logprobs"]) == len(out["token_ids"]) == 5
+    for (lp, top), tok in zip(out["logprobs"], out["token_ids"]):
+        assert lp <= 0.0 and len(top) == 3
+        # greedy: the sampled token is the argmax -> top-1 candidate
+        assert top[0][0] == tok
+        assert abs(top[0][1] - lp) < 1e-4
