@@ -66,8 +66,10 @@ class StepMetadata(NamedTuple):
     # token back to it (the TPU analogue of the reference's GPU token_pool,
     # scheduler/table.py:9-11 + scheduler.py:227-233).
     slot_ids: jax.Array
-    # prefill only: [T] input token ids (decode gathers from the token ring)
+    # prefill/verify: [T] input token ids (decode gathers from the token ring)
     input_ids: Optional[jax.Array] = None
+    # verify only: [B] staged draft count per row (engine/step.py acceptance)
+    draft_len: Optional[jax.Array] = None
 
 
 # ---- packed wire format ----------------------------------------------------
@@ -76,14 +78,20 @@ class StepMetadata(NamedTuple):
 # the moral equivalent of the reference staging everything through one pinned
 # buffer per iteration (scheduler.py:236-267). Layout (offsets static per
 # (B, T, PB, phase) bucket):
-#   out_slots[T] positions[T] q_req_ids[T] (input_ids[T] prefill only)
-#   slot_ids[B] seq_lens[B] last_q_index[B] top_k[B]
-#   temperature_bits[B] top_p_bits[B] min_p_bits[B] seed[B]
+#   out_slots[T] positions[T] q_req_ids[T] (input_ids[T] prefill/verify)
+#   slot_ids[B] seq_lens[B] last_q_index[G] (draft_len[B] verify only)
+#   top_k[B] temperature_bits[B] top_p_bits[B] min_p_bits[B] seed[B]
 #   cu_q_lens[B+1] num_seqs[1] page_table[B*PB]
+# where G = B for prefill/decode; for the speculative verify phase the
+# last_q_index field is WIDENED to G = B * spec_cols flat sampling-gather
+# indices (spec_cols = 1 + max draft tokens) and draft_len[B] follows it.
 
 
-def packed_len(B: int, T: int, PB: int, has_input_ids: bool) -> int:
-    return (4 if has_input_ids else 3) * T + 8 * B + (B + 1) + 1 + B * PB
+def packed_len(
+    B: int, T: int, PB: int, has_input_ids: bool, spec_cols: int = 0
+) -> int:
+    extra = (spec_cols - 1) * B + B if spec_cols else 0  # wide gather + draft_len
+    return (4 if has_input_ids else 3) * T + 8 * B + (B + 1) + 1 + B * PB + extra
 
 
 def pack_step_meta(m) -> "np.ndarray":
@@ -97,6 +105,10 @@ def pack_step_meta(m) -> "np.ndarray":
         m.slot_ids,
         m.seq_lens,
         m.last_q_index,
+    ]
+    if getattr(m, "draft_len", None) is not None:
+        fields.append(m.draft_len)
+    fields += [
         m.top_k,
         np.ascontiguousarray(m.temperature, np.float32).view(np.int32),
         np.ascontiguousarray(m.top_p, np.float32).view(np.int32),
@@ -119,7 +131,7 @@ def pack_step_meta(m) -> "np.ndarray":
 
 
 def unpack_step_meta(
-    arr: jax.Array, B: int, T: int, PB: int, phase: str
+    arr: jax.Array, B: int, T: int, PB: int, phase: str, spec_cols: int = 0
 ) -> StepMetadata:
     """Device-side slices of the packed buffer (inside jit: free reshapes)."""
     import jax.numpy as jnp
@@ -135,10 +147,11 @@ def unpack_step_meta(
     out_slots = take(T)
     positions = take(T)
     q_req_ids = take(T)
-    input_ids = take(T) if phase == "prefill" else None
+    input_ids = take(T) if phase in ("prefill", "verify") else None
     slot_ids = take(B)
     seq_lens = take(B)
-    last_q_index = take(B)
+    last_q_index = take(B * spec_cols if phase == "verify" else B)
+    draft_len = take(B) if phase == "verify" else None
     top_k = take(B)
     temperature = jax.lax.bitcast_convert_type(take(B), jnp.float32)
     top_p = jax.lax.bitcast_convert_type(take(B), jnp.float32)
@@ -164,4 +177,5 @@ def unpack_step_meta(
         ),
         slot_ids=slot_ids,
         input_ids=input_ids,
+        draft_len=draft_len,
     )

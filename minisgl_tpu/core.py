@@ -84,6 +84,13 @@ class Req:
         self._ids_buf[: self.device_len] = prompt
         self._num_ids = self.device_len
         self.input_ids = self._ids_buf[: self._num_ids]
+        # staged speculative draft tokens (spec/lookup.py) awaiting a verify
+        # step's result; non-None only between stage_drafts and settle_verify
+        self.spec_drafts: Optional[np.ndarray] = None
+        # drafts proposed at result-processing time (the only moment the
+        # request is settled under overlap scheduling), consumed by the next
+        # verify dispatch; while set, plain decode skips this request
+        self.spec_proposal: Optional[np.ndarray] = None
         # prompt length at admission; output count = len(input_ids) - this.
         # (The reference infers finish from device_len, which under overlap
         # scheduling advances one dispatch ahead of processed results and
@@ -131,6 +138,39 @@ class Req:
         self._num_ids += n
         self.input_ids = self._ids_buf[: self._num_ids]
 
+    def feed_tokens(self) -> np.ndarray:
+        """Tokens fed to the next forward: [cached_len, device_len). For
+        prefill this equals the input_ids slice; for a speculative verify
+        step it additionally covers the draft tokens staged past
+        ``input_ids`` (stage_drafts) — accepted tokens only ever land in
+        ``input_ids`` after verification."""
+        return self._ids_buf[self.cached_len : self.device_len]
+
+    def stage_drafts(self, drafts: np.ndarray) -> None:
+        """Stage speculative draft tokens for ONE verify forward: writes
+        them past the accepted history (without advancing ``input_ids``)
+        and claims their KV positions via ``device_len``. Requires no
+        in-flight tokens (len(input_ids) == device_len)."""
+        h = self._num_ids
+        d = len(drafts)
+        assert self.device_len == h and self.cached_len == h - 1, (
+            "stage_drafts needs settled bookkeeping"
+        )
+        assert h + d <= self.max_device_len
+        self._ids_buf[h : h + d] = drafts
+        self.spec_drafts = drafts
+        self.device_len = h + d
+
+    def settle_verify(self) -> None:
+        """After a verify result's accepted tokens were appended: rewind KV
+        bookkeeping past the rejected drafts. KV is valid through the
+        second-to-last accepted token (the last emitted token's KV is
+        computed by the NEXT forward), restoring the decode invariant
+        cached_len == device_len - 1."""
+        self.spec_drafts = None
+        self.cached_len = self._num_ids - 1
+        self.device_len = self._num_ids
+
     @property
     def num_output_tokens(self) -> int:
         return self._num_ids - self.prompt_len
@@ -147,7 +187,7 @@ class Req:
         )
 
 
-Phase = Literal["prefill", "decode"]
+Phase = Literal["prefill", "decode", "verify"]
 
 
 @dataclass
@@ -187,6 +227,10 @@ class BatchMetadata:
     min_p: Optional[np.ndarray] = None
     # [B_pad] int32; None packs as zeros (unseeded)
     seed: Optional[np.ndarray] = None
+    # verify phase only: [B_pad] number of staged draft tokens per row (the
+    # flat sampling-gather indices ride in last_q_index, widened to
+    # [B_pad * (1 + D)]; see engine/step.py verify path)
+    draft_len: Optional[np.ndarray] = None
 
 
 @dataclass

@@ -50,6 +50,7 @@ def build_batch_metadata(
     pages_cap: int,
     q_align: int = 1,
     fixed_pages: bool = False,
+    spec_cols: int = 0,
 ) -> BatchMetadata:
     # q_align > 1 pads every request query segment to that multiple so the
     # Pallas kernel block index maps stay expressible
@@ -110,7 +111,16 @@ def build_batch_metadata(
     top_p = np.ones(B_pad, np.float32)
     min_p = np.zeros(B_pad, np.float32)
     seed = np.zeros(B_pad, np.int32)
-    input_ids = np.zeros(T_pad, np.int32) if batch.is_prefill else None
+    input_ids = np.zeros(T_pad, np.int32) if not batch.is_decode else None
+    # verify phase: [B_pad, C] flat sampling-gather indices (every fed
+    # token's logit is needed for draft acceptance) + per-row draft count
+    is_verify = batch.phase == "verify"
+    if is_verify:
+        assert spec_cols > 0
+        verify_gather = np.zeros((B_pad, spec_cols), np.int32)
+        draft_len = np.zeros(B_pad, np.int32)
+    else:
+        draft_len = None
 
     if batch.is_decode:
         # fully vectorized: one query token per row (ext == 1 by the
@@ -164,10 +174,15 @@ def build_batch_metadata(
             positions[offset : offset + ext] = pos
             out_slots[offset : offset + ext] = slots
             q_req_ids[offset : offset + ext] = i
-            input_ids[offset : offset + ext] = req.input_ids[
-                req.cached_len : req.device_len
-            ]
+            # feed_tokens == the input_ids slice for prefill; for verify it
+            # additionally covers the staged draft tokens (core.py)
+            input_ids[offset : offset + ext] = req.feed_tokens()
             last_q_index[i] = offset + ext - 1
+            if is_verify:
+                verify_gather[i] = offset + np.minimum(
+                    np.arange(spec_cols, dtype=np.int32), ext - 1
+                )
+                draft_len[i] = ext - 1
             offset += aligned(ext)
             cu_q_lens[i + 1] = offset
 
@@ -175,6 +190,9 @@ def build_batch_metadata(
     cu_q_lens[B + 1 :] = offset
     # padded batch rows gather their "last token" from flat index 0 — their
     # logits are discarded anyway
+    if is_verify:
+        # the LM-head gather widens to every fed position of every row
+        last_q_index = verify_gather.reshape(-1)
 
     return BatchMetadata(
         phase=batch.phase,
@@ -194,6 +212,7 @@ def build_batch_metadata(
         seed=seed,
         num_reqs=B,
         num_tokens=T,
+        draft_len=draft_len,
     )
 
 

@@ -71,6 +71,18 @@ class EngineConfig:
     # depth*decode_steps tokens). 0 = MSLT_PIPELINE_DEPTH env (default 1,
     # the reference's one-behind overlap)
     pipeline_depth: int = 0
+    # speculative decoding (beyond the reference): "none" | "lookup"
+    # (prompt-lookup / n-gram self-drafting, spec/lookup.py). Greedy
+    # requests whose suffix n-gram recurs in their own history get draft
+    # tokens verified in ONE extend forward — every accepted draft is a
+    # nearly-free token on a memory-bound decode.
+    spec_algo: str = "none"
+    # max draft tokens staged per verify step (the verify sampling width is
+    # 1 + this, compiled statically into the verify step fn)
+    spec_draft_tokens: int = 8
+    # suffix n-gram sizes tried (longest first) by the lookup proposer
+    spec_ngram_max: int = 4
+    spec_ngram_min: int = 2
 
     def __post_init__(self):
         if self.page_size is None:

@@ -133,6 +133,8 @@ class Engine:
             )
             for phase in ("prefill", "decode")
         }
+        # speculative verify is an extend forward: same ragged kernel
+        self._attn["verify"] = self._attn["prefill"]
         self._step_fns: Dict[Tuple[str, bool], object] = {}
         self.bs_buckets = config.decode_bs_buckets()
         self.token_buckets = getattr(
@@ -310,8 +312,15 @@ class Engine:
                 decode_steps=decode_steps,
                 want_logprobs=want_logprobs,
                 kv_has_scale=self.kv_scaled,
+                spec_cols=self.spec_cols if phase == "verify" else 0,
             )
         return self._step_fns[key]
+
+    @property
+    def spec_cols(self) -> int:
+        """Verify-phase sampling width: 1 (the re-fed last token) + the max
+        draft tokens staged per row (config.spec_draft_tokens)."""
+        return 1 + self.config.spec_draft_tokens
 
     def build_metadata(self, batch: Batch, page_lists) -> BatchMetadata:
         return build_batch_metadata(
@@ -323,6 +332,7 @@ class Engine:
             self.pages_cap,
             q_align=self.q_align,
             fixed_pages=self.fixed_pages,
+            spec_cols=self.spec_cols if batch.phase == "verify" else 0,
         )
 
     def forward_batch(self, batch: Batch) -> ForwardOutput:
@@ -349,9 +359,12 @@ class Engine:
         if dt > 1.0:  # cold-bucket compile; steady-state dispatch is ~ms
             logger.debug(f"step dispatch took {dt:.1f}s (compile?)")
         # host-side length bookkeeping advances at dispatch (reference
-        # engine.py:199-200)
-        for req in batch.reqs:
-            req.complete_k(batch.decode_steps)
+        # engine.py:199-200). Verify batches advanced device_len when the
+        # drafts were staged (core.py stage_drafts); acceptance-dependent
+        # rewind happens at result processing (settle_verify).
+        if batch.phase != "verify":
+            for req in batch.reqs:
+                req.complete_k(batch.decode_steps)
         return ForwardOutput(batch=batch, tokens=tokens, logprobs=logprobs)
 
     def warmup(self) -> None:

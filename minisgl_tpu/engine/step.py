@@ -64,6 +64,7 @@ def build_step_fn(
     decode_steps: int = 1,
     kv_has_scale: bool = False,
     want_logprobs: bool = False,
+    spec_cols: int = 0,
 ):
     """Returns jitted (params, state, meta) -> (state, tokens[, logits]).
 
@@ -78,8 +79,12 @@ def build_step_fn(
     tokens for ONE host<->device round trip. (No reference counterpart: CUDA
     graphs still pay one launch+sync per token.)
     """
-    assert phase in ("prefill", "decode")
+    assert phase in ("prefill", "decode", "verify")
     assert decode_steps == 1 or phase == "decode"
+    if phase == "verify":
+        # speculative verify (spec/lookup.py): greedy-only, token path only
+        assert spec_cols > 1 and all_greedy
+        assert not return_logits and not want_logprobs
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
 
     # tp > 1 token path: keep logits vocab-sharded and reduce per-shard
@@ -134,10 +139,40 @@ def build_step_fn(
         token_slots = state.token_slots.at[meta.slot_ids].set(tokens)
         return DeviceState(kv_pool, token_slots, rng), tokens, logits, extras
 
+    def _verify(params, state: DeviceState, meta: StepMetadata):
+        """Speculative verify: one extend forward over each row's [last
+        accepted token + staged drafts], greedy targets at EVERY fed
+        position, then the longest-matching draft prefix is accepted. The
+        token ring gets each row's last accepted token ON DEVICE (the host
+        learns acceptance only when it fetches the [C, B] targets), so a
+        plain decode step can always follow a verify step."""
+        B, C = meta.slot_ids.shape[0], spec_cols
+        logits, kv_pool = model.forward(
+            params, meta.input_ids, state.kv, meta.attn, attn_impl,
+            gather_logits=not distributed,
+        )  # [B*C, V or V/tp]: gathered at the widened last_q_index
+        if distributed:
+            flat = greedy_sharded(logits, MODEL_AXIS)
+        else:
+            flat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        g = flat.reshape(B, C)  # g[:, j] = target after the j-th fed token
+        fed = jnp.take(meta.input_ids, meta.attn.last_q_index).reshape(B, C)
+        # draft j (fed column j+1) is accepted iff every earlier draft
+        # matched and the model's target g[:, j] equals it
+        dmask = jnp.arange(C - 1, dtype=jnp.int32)[None, :] < meta.draft_len[:, None]
+        match = jnp.logical_and(g[:, :-1] == fed[:, 1:], dmask)
+        m = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)  # [B]
+        last_tok = jnp.take_along_axis(g, m[:, None], axis=1)[:, 0]
+        token_slots = state.token_slots.at[meta.slot_ids].set(last_tok)
+        # [C, B]: the scheduler consumes burst columns like multi-step decode
+        return DeviceState(kv_pool, token_slots, state.rng), g.T
+
     def _impl(params, state: DeviceState, meta):
         if packed_dims is not None:
             B, T, PB = packed_dims
-            meta = unpack_step_meta(meta, B, T, PB, phase)
+            meta = unpack_step_meta(meta, B, T, PB, phase, spec_cols=spec_cols)
+        if phase == "verify":
+            return _verify(params, state, meta)
         if decode_steps == 1:
             new_state, tokens, logits, extras = _one(params, state, meta)
             if return_logits:

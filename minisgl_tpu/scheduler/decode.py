@@ -37,10 +37,28 @@ class DecodeManager:
         reserved = (self.page_size - 1) * len(self.running_reqs)
         return sum(req.remain_len for req in self.running_reqs) + reserved
 
-    def schedule_next_batch(self, decode_steps: int = 1) -> Optional[Batch]:
+    def schedule_next_batch(
+        self, decode_steps: int = 1, exclude: Optional[Set[Req]] = None
+    ) -> Optional[Batch]:
         if not self.runnable:
             return None
-        reqs: List[Req] = sorted(self.running_reqs, key=lambda r: r.table_idx)
+        # reqs with staged speculative drafts in flight (spec_drafts set)
+        # violate the decode invariant cached_len == device_len - 1; reqs
+        # with a pending draft proposal are reserved for the verify phase;
+        # ``exclude`` withholds rows the scheduler wants to let settle
+        # (speculative hint, scheduler._hint_spec)
+        reqs: List[Req] = sorted(
+            (
+                r
+                for r in self.running_reqs
+                if r.spec_drafts is None
+                and r.spec_proposal is None
+                and (exclude is None or r not in exclude)
+            ),
+            key=lambda r: r.table_idx,
+        )
+        if not reqs:
+            return None
         # a K-step burst needs K tokens of budget on every row; otherwise
         # fall back to single-step (keeps the compiled variant set at {1, K})
         k = decode_steps

@@ -28,6 +28,11 @@ class SchedulerMetrics:
     reqs_received: int = 0
     reqs_finished: int = 0
     reqs_aborted: int = 0
+    # speculative decoding (prompt lookup, spec/lookup.py): staged draft
+    # tokens, drafts the model agreed with, and verify dispatches
+    spec_draft_tokens: int = 0
+    spec_accepted_tokens: int = 0
+    spec_steps: int = 0
 
     def count_prefill_admission(self, cached_len: int, extend_len: int) -> None:
         """Called once per request admission (not per chunk continuation)."""
@@ -54,6 +59,14 @@ class SchedulerMetrics:
             "reqs_received": self.reqs_received,
             "reqs_finished": self.reqs_finished,
             "reqs_aborted": self.reqs_aborted,
+            "spec_steps": self.spec_steps,
+            "spec_draft_tokens": self.spec_draft_tokens,
+            "spec_accepted_tokens": self.spec_accepted_tokens,
+            "spec_acceptance_rate": round(
+                self.spec_accepted_tokens / self.spec_draft_tokens, 6
+            )
+            if self.spec_draft_tokens
+            else 0.0,
             # gauges (summed over DP replicas)
             "dp_size": len(reps),
             "running_reqs": sum(

@@ -55,6 +55,7 @@ from minisgl_tpu.scheduler.io import SchedulerIOMixin
 from minisgl_tpu.scheduler.metrics import SchedulerMetrics
 from minisgl_tpu.scheduler.prefill import ChunkedReq, PrefillManager
 from minisgl_tpu.scheduler.table import TableManager
+from minisgl_tpu.spec import propose_lookup_drafts
 from minisgl_tpu.utils import init_logger
 
 logger = init_logger(__name__, "Scheduler")
@@ -255,9 +256,9 @@ class Scheduler(SchedulerIOMixin):
 
         dispatched: Dict[int, bool] = {}
         for rep in self.replicas:
-            batch = self._schedule_next_batch(rep)
-            dispatched[rep.idx] = batch is not None
-            if batch is not None:
+            batches = self._schedule_next_batches(rep)
+            dispatched[rep.idx] = bool(batches)
+            for batch in batches:
                 rep.inflight.append(self._forward(rep, batch))
         t2 = time.perf_counter()
         self.loop_times["schedule_dispatch"] += t2 - t1
@@ -279,8 +280,7 @@ class Scheduler(SchedulerIOMixin):
         for msg in self.receive_msg(blocking=blocking):
             self._process_one_msg(msg)
         for rep in self.replicas:
-            batch = self._schedule_next_batch(rep)
-            if batch is not None:
+            for batch in self._schedule_next_batches(rep):
                 self._process_last_data(self._forward(rep, batch))
 
     def run_forever(self) -> None:
@@ -343,9 +343,19 @@ class Scheduler(SchedulerIOMixin):
             # EOS (exact per-token finish semantics as the reference's
             # scalar loop, one append/EOS-check per token — measured 8 ms
             # per iteration in Python at bs=128 x K=8)
-            limit = min(
-                tokens.shape[0], req.output_len - req.num_output_tokens
-            )
+            if batch.phase == "verify":
+                # the column holds the model's target tokens at every fed
+                # position; the valid prefix is the matched drafts (all
+                # equal to their targets) plus one correction/bonus token
+                # — the same acceptance rule the device used for its token-
+                # ring scatter (engine/step.py _verify)
+                drafts = req.spec_drafts
+                matched = tokens[: len(drafts), i] == drafts
+                m = int(np.argmax(~matched)) if not matched.all() else len(drafts)
+                valid = m + 1
+            else:
+                valid = tokens.shape[0]
+            limit = min(valid, req.output_len - req.num_output_tokens)
             col = tokens[:limit, i]
             n_take = limit
             finished = False
@@ -362,6 +372,13 @@ class Scheduler(SchedulerIOMixin):
                     finished = True
             col = col[:n_take]
             req.append_host_many(col)
+            if batch.phase == "verify":
+                # rewind bookkeeping past the rejected drafts; generated
+                # tokens count toward decode throughput at processing time
+                # (decode batches count theirs at dispatch)
+                req.settle_verify()
+                self.metrics.spec_accepted_tokens += max(0, n_take - 1)
+                self.metrics.decode_tokens += n_take
             finished |= req.num_output_tokens >= req.output_len
             last = n_take - 1
             n_lp = min(sp.logprobs, 0 if lp is None else lp[1].shape[-1])
@@ -392,8 +409,11 @@ class Scheduler(SchedulerIOMixin):
                 if pending:
                     rep.finished_reqs[req] = pending
                 self.metrics.reqs_finished += 1
-            elif batch.is_prefill:
-                rep.cache_manager.cache_req(req, finished=False)
+            else:
+                if batch.is_prefill:
+                    rep.cache_manager.cache_req(req, finished=False)
+                if self.config.spec_algo != "none":
+                    self._propose_drafts(req)
         self.send_result(reply)
 
     def _route_replica(self, input_ids=None) -> Replica:
@@ -495,7 +515,13 @@ class Scheduler(SchedulerIOMixin):
 
     # ------------------------------------------------------------ scheduling
 
-    def _schedule_next_batch(self, rep: Replica) -> Optional[Batch]:
+    def _schedule_next_batches(self, rep: Replica) -> List[Batch]:
+        """Pick this iteration's dispatches. At most one prefill OR decode
+        batch (the reference's policy), plus — when speculative decoding is
+        on — an optional verify batch alongside the decode batch: verify
+        rows and decode rows are disjoint requests, so both can be in
+        flight without blocking each other."""
+        batches: List[Batch] = []
         batch = None
         if (
             self.config.schedule_policy == "interleave"
@@ -514,7 +540,30 @@ class Scheduler(SchedulerIOMixin):
                 self.prefill_budget, q_align=rep.engine.q_align,
                 metrics=self.metrics,
             )
-        if batch is None:
+        if batch is not None:
+            batches.append(batch)
+        elif self.config.spec_algo != "none":
+            verify = self._schedule_verify(rep)
+            if verify is not None:
+                batches.append(verify)
+            # withhold rows whose settled prefix hints a lookup match from
+            # the decode stream: under overlap scheduling a row that keeps
+            # being re-dispatched never settles, so the proposer would
+            # never run for it (its in-flight results get processed this
+            # iteration; _propose_drafts fires once it settles)
+            withhold = {
+                r
+                for r in rep.decode_manager.running_reqs
+                if r.spec_drafts is None
+                and r.spec_proposal is None
+                and self._hint_spec(r)
+            }
+            decode = rep.decode_manager.schedule_next_batch(
+                self.config.decode_steps, exclude=withhold
+            )
+            if decode is not None:
+                batches.append(decode)
+        else:
             # Reaching here means NO prefill could actually be admitted
             # this iteration (queue empty, or blocked on slots/KV memory
             # until running requests finish) — so burst the full K. A
@@ -524,27 +573,110 @@ class Scheduler(SchedulerIOMixin):
             # (the Llama-8B bench pathology: 64 seqs over max_running=32
             # pinned decode at k=1, ~33 tokens/dispatch). TTFT cost is
             # bounded by one burst: admission is re-checked next iteration.
-            batch = rep.decode_manager.schedule_next_batch(
+            decode = rep.decode_manager.schedule_next_batch(
                 self.config.decode_steps
             )
-        if batch is None:
+            if decode is not None:
+                batches.append(decode)
+        for batch in batches:
+            rep.last_phase = batch.phase
+            rep.cache_manager.allocate_paged(
+                batch.reqs, lookahead=batch.decode_steps - 1
+            )
+            batch.metadata = rep.engine.build_metadata(
+                batch, rep.table_manager  # TableManager: cached page arrays
+            )
+            logger.debug(
+                f"scheduled {batch.phase} B={batch.size} "
+                f"T={batch.metadata.num_tokens} replica={rep.idx}"
+            )
+        return batches
+
+    def _hint_spec(self, req: Req) -> bool:
+        """Cheap settle-ahead test: would the lookup proposer (probably)
+        find drafts for this request? Runs on the settled prefix — in-flight
+        tokens may change the suffix, so the authoritative proposal happens
+        at settle time (_propose_drafts); a stale hit just costs the row one
+        idle iteration. Cached per history length (the scan is O(history)
+        and the length only changes when results land)."""
+        sp = req.sampling_params
+        if not sp.is_greedy or sp.logprobs or not req.can_decode:
+            return False
+        L = len(req.input_ids)
+        if getattr(req, "_spec_hint_len", -1) == L:
+            return req._spec_hint
+        cfg = self.config
+        hit = bool(
+            len(
+                propose_lookup_drafts(
+                    req.input_ids,
+                    min(cfg.spec_draft_tokens, req.remain_len),
+                    cfg.spec_ngram_max,
+                    cfg.spec_ngram_min,
+                )
+            )
+        )
+        req._spec_hint_len = L
+        req._spec_hint = hit
+        return hit
+
+    def _propose_drafts(self, req: Req) -> None:
+        """Called when a request settles (its last in-flight result was just
+        processed — the only moment its full history is host-known under
+        overlap scheduling): run the lookup proposer and reserve the request
+        for the verify phase when it yields drafts. Requests without a match
+        stay in the plain decode flow."""
+        sp = req.sampling_params
+        if (
+            not req.can_decode
+            or len(req.input_ids) != req.device_len  # another batch in flight
+            or not sp.is_greedy
+            or sp.logprobs
+        ):
+            return
+        cfg = self.config
+        drafts = propose_lookup_drafts(
+            req.input_ids,
+            min(cfg.spec_draft_tokens, req.remain_len),
+            cfg.spec_ngram_max,
+            cfg.spec_ngram_min,
+        )
+        if len(drafts):
+            req.spec_proposal = drafts
+
+    def _schedule_verify(self, rep: Replica) -> Optional[Batch]:
+        """Build a speculative-verify batch from requests whose settle-time
+        draft proposal is pending. The verify forward is extend-phase, so
+        rows consume the prefill token budget (each padded to q_align, like
+        chunked-prefill admission); rows that don't fit stay reserved and
+        ride the next verify batch."""
+        cfg = self.config
+        q_align = rep.engine.q_align
+        seg = -(-(cfg.spec_draft_tokens + 1) // q_align) * q_align
+        budget = self.prefill_budget
+        reqs: List[Req] = []
+        for req in sorted(
+            rep.decode_manager.running_reqs, key=lambda r: r.table_idx
+        ):
+            if budget < seg:
+                break
+            if req.spec_proposal is None or req.spec_drafts is not None:
+                continue
+            drafts = req.spec_proposal
+            req.spec_proposal = None
+            req.stage_drafts(drafts)
+            self.metrics.spec_draft_tokens += len(drafts)
+            reqs.append(req)
+            budget -= seg
+        if not reqs:
             return None
-        rep.last_phase = batch.phase
-        rep.cache_manager.allocate_paged(
-            batch.reqs, lookahead=batch.decode_steps - 1
-        )
-        batch.metadata = rep.engine.build_metadata(
-            batch, rep.table_manager  # TableManager: cached page arrays
-        )
-        logger.debug(
-            f"scheduled {batch.phase} B={batch.size} "
-            f"T={batch.metadata.num_tokens} replica={rep.idx}"
-        )
-        return batch
+        return Batch(reqs=reqs, phase="verify")
 
     def _forward(self, rep: Replica, batch: Batch) -> ForwardData:
         if batch.is_prefill:
             self.metrics.prefill_steps += 1
+        elif batch.phase == "verify":
+            self.metrics.spec_steps += 1
         else:
             self.metrics.decode_steps += 1
             self.metrics.decode_tokens += batch.size * batch.decode_steps

@@ -70,6 +70,15 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     )
     p.add_argument("--kv-dtype", dest="kv_dtype",
                    choices=["auto", "bf16", "fp8", "int8"], default="auto")
+    p.add_argument(
+        "--spec-algo", choices=["none", "lookup"], default="none",
+        help="speculative decoding: lookup = prompt-lookup (n-gram "
+        "self-drafting verified in one extend forward; greedy reqs only)",
+    )
+    p.add_argument("--spec-draft-tokens", type=int, default=8,
+                   help="max draft tokens verified per speculative step")
+    p.add_argument("--spec-ngram-max", type=int, default=4)
+    p.add_argument("--spec-ngram-min", type=int, default=2)
     p.add_argument("--memory-ratio", type=float, default=0.9)
     p.add_argument("--max-seq-len", dest="max_seq_len_override", type=int)
     p.add_argument("--num-pages", dest="num_page_override", type=int)

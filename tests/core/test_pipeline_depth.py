@@ -74,8 +74,7 @@ def test_depth2_abort_no_double_free(model_dir):
     rep = llm.replicas[0]
     # dispatch prefill + one decode batch, keeping both in flight (depth 2)
     for _ in range(2):
-        batch = llm._schedule_next_batch(rep)
-        assert batch is not None
+        (batch,) = llm._schedule_next_batches(rep)
         rep.inflight.append(llm._forward(rep, batch))
     # abort while two batches reference the req
     llm._process_one_msg(AbortBackendMsg(uid=999))

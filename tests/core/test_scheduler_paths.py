@@ -85,8 +85,8 @@ def test_abort_releases_resources(model_dir):
         params=SamplingParams(max_tokens=50, ignore_eos=True),
     )
     rep = llm.replicas[0]
-    batch = llm._schedule_next_batch(rep)
-    assert batch is not None and batch.is_prefill
+    (batch,) = llm._schedule_next_batches(rep)
+    assert batch.is_prefill
     llm._process_last_data(llm._forward(rep, batch))
     llm._process_one_msg(AbortBackendMsg(uid=999))
     llm.cache_manager.check_integrity()
