@@ -78,7 +78,7 @@ def main() -> None:
         # RTT-bound on the one-behind D2H token fetch (~41 ms/iteration vs
         # ~11 ms device time through the tunnel; BENCHLOG host-loop
         # decomposition)
-        pipeline_depth=int(os.environ.get("BENCH_PIPELINE_DEPTH", "2")),
+        pipeline_depth=int(os.environ.get("BENCH_PIPELINE_DEPTH", "4")),
         **kwargs,
     )
     # Warmup pass: the SAME workload shape with different random prompts,
