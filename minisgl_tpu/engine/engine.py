@@ -31,6 +31,7 @@ from minisgl_tpu.core import Batch, BatchMetadata
 from minisgl_tpu.engine.batch_builder import all_greedy, build_batch_metadata
 from minisgl_tpu.engine.config import EngineConfig
 from minisgl_tpu.engine.step import KV_SPEC, DeviceState, build_step_fn
+from minisgl_tpu.env import ENV
 from minisgl_tpu.models.base import create_model
 from minisgl_tpu.models.weight import init_dummy_params, load_params
 from minisgl_tpu.parallel.mesh import MeshInfo, create_mesh
@@ -44,6 +45,28 @@ from minisgl_tpu.utils import (
 logger = init_logger(__name__, "Engine")
 
 
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at MSLT_COMPILE_CACHE
+    (default ~/.cache/jax_comp) so step-variant compiles — tens of seconds
+    each on remote-compile devices — are paid once per machine, not once per
+    server process (a cold serving plane measured 69-184 s first-request
+    TTFT without it). Explicit JAX_COMPILATION_CACHE_DIR still wins."""
+    import os
+
+    path = ENV.COMPILE_CACHE
+    if not path or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(path)
+        )
+        # cache even fast compiles: a 1 s CPU-test compile is still worth
+        # skipping, and bucket-ladder warmups compile dozens of variants
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # unsupported on exotic backends: non-fatal
+        logger.warning(f"compile cache unavailable: {e}")
+
+
 class ForwardOutput(NamedTuple):
     batch: Batch
     tokens: jax.Array  # [B_pad] device array (fetch one iteration later)
@@ -55,6 +78,7 @@ class ForwardOutput(NamedTuple):
 class Engine:
     def __init__(self, config: EngineConfig, mesh_info: Optional[MeshInfo] = None):
         self.config = config
+        _enable_compile_cache()
         # DP is replica-level (scheduler/scheduler.py Replica): one engine
         # owns ONE tp-mesh; dp>1 callers pass a device-subset mesh_info
         self.mesh_info = mesh_info or create_mesh(config.tp_size)
