@@ -40,6 +40,8 @@ KV_LEN = int(os.environ.get("ABL_KV_LEN", "512"))
 ITERS = int(os.environ.get("ABL_ITERS", "20"))
 PAGES = int(os.environ.get("ABL_PAGES", "7000"))
 PS = int(os.environ.get("ABL_PAGE_SIZE", "16"))
+KV_DTYPE = os.environ.get("ABL_KV_DTYPE", "auto")  # main-engine KV dtype
+QUANT = os.environ.get("ABL_QUANT", "none")  # weight quantization
 
 
 def build_meta(engine, bs: int, kv_len: int):
@@ -115,8 +117,8 @@ def time_variant(engine, name: str, k: int) -> float:
             params_spec = model.params_spec
             dims = model.dims
 
-            def forward(self, params, ids, kv, meta, impl):
-                logits, kv = orig_forward(params, ids, kv, meta, impl)
+            def forward(self, params, ids, kv, meta, impl, **kw):
+                logits, kv = orig_forward(params, ids, kv, meta, impl, **kw)
                 # keep shape, drop the matmul: XLA DCEs the lm head
                 return (
                     jnp.zeros_like(logits)
@@ -182,6 +184,8 @@ def main() -> None:
                 max_seq_len_override=2048,
                 num_page_override=PAGES * 16 // PS,
                 page_size=PS,
+                kv_dtype=KV_DTYPE,
+                quantization=QUANT,
             )
         )
         for v in pool_variants:

@@ -133,14 +133,40 @@ def store_kv(
     else:
         kv_new = kv_new.astype(kv_pool.dtype)
     T = kv_new.shape[0]
-    # Scaled (int8) pools always scatter: the sidecar rows are narrow and
-    # the decode-ablation showed the whole store path is ~1 ms/step either
-    # way; the Pallas DMA store only pays off for the wide bf16 data rows.
     if kv.scale is not None:
-        new_pool = kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
-        return scatter_kv_scales(
-            KV(new_pool, kv.scale, kv.scale_p), rows, offs, scale
+        if jax.default_backend() == "cpu" or T > 256:
+            # XLA scatter: CPU/tests, and large prefill writes (one DMA per
+            # token would serialize ~8k transfers)
+            new_pool = kv_pool.at[rows, offs].set(
+                kv_new, mode="promise_in_bounds"
+            )
+            return scatter_kv_scales(
+                KV(new_pool, kv.scale, kv.scale_p), rows, offs, scale
+            )
+        # decode-sized writes: Pallas DMA for the data rows + the 128-lane
+        # scale_p rows (the XLA scatter on the multi-GB pool measured ~3 ms
+        # per step at bs=128, round-3 ablation); only the narrow decode
+        # sidecar — a [2, kvh] lane slice Mosaic DMA can't address — keeps
+        # the XLA scatter, on its small operand
+        from minisgl_tpu.ops.store_pallas import pallas_store_kv_scaled
+
+        kvh = scale.shape[1] // 2
+        row_vals = jnp.zeros((T, SCALE_P_LANES), jnp.float32)
+        row_vals = jax.lax.dynamic_update_slice(row_vals, scale, (0, 0))
+        new_pool, new_scale_p = pallas_store_kv_scaled(
+            kv_pool, kv.scale_p, rows, offs, kv_new, row_vals
         )
+        # lane-index scatter: measured 2.4 ms/step at bs=128 — the LEAST bad
+        # XLA formulation (contiguous-window reshapes to [.., kvh]-minor
+        # shapes force whole-array relayouts: 380 and 652 ms/step in the
+        # round-3 ablation). The real fix is fusing this write into the
+        # decode attention kernel (which already holds the row in VMEM).
+        planes = scale.reshape(T, 2, kvh)
+        lanes = offs[:, None] * kvh + jnp.arange(kvh, dtype=offs.dtype)[None, :]
+        new_scale = kv.scale.at[rows[:, None], :, lanes].set(
+            planes.transpose(0, 2, 1), mode="promise_in_bounds"
+        )
+        return KV(new_pool, new_scale, new_scale_p)
     if jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
         # (the Pallas store is one serial DMA per token). On TPU decode the

@@ -37,6 +37,81 @@ def _store_kernel(
     copy.wait()
 
 
+def _store_scaled_kernel(
+    rows_ref,  # [T] i32 scalar prefetch: pool row (page) per token
+    offs_ref,  # [T] i32 scalar prefetch: in-page offset per token
+    kv_new_ref,  # VMEM [1, 2*kvh, hd] this token's packed K/V row
+    sp_new_ref,  # VMEM [1, 1, SCALE_P_LANES] this token's scale row
+    pool_in_ref,  # ANY [N, ps, 2*kvh, hd] (aliased)
+    sp_in_ref,  # ANY [N, ps, SCALE_P_LANES] (aliased)
+    pool_out_ref,
+    sp_out_ref,
+    sem_data,
+    sem_sp,
+):
+    i = pl.program_id(0)
+    row, off = rows_ref[i], offs_ref[i]
+    data = pltpu.make_async_copy(
+        kv_new_ref.at[0], pool_out_ref.at[row, off], sem_data
+    )
+    sp = pltpu.make_async_copy(
+        sp_new_ref.at[0, 0], sp_out_ref.at[row, off], sem_sp
+    )
+    data.start()
+    sp.start()
+    data.wait()
+    sp.wait()
+
+
+def pallas_store_kv_scaled(
+    kv_pool: jax.Array,  # [N, ps, 2*kvh, hd] int8
+    scale_p: jax.Array,  # [N, ps, SCALE_P_LANES] f32 (prefill scale sidecar)
+    rows: jax.Array,  # [T] i32
+    offs: jax.Array,  # [T] i32
+    kv_new: jax.Array,  # [T, 2*kvh, hd] int8 (already quantized)
+    sp_new: jax.Array,  # [T, SCALE_P_LANES] f32 scale rows
+    *,
+    interpret: bool = False,
+):
+    """Scatter quantized KV rows + their prefill-layout scale rows in place.
+
+    The decode-layout scale sidecar (ops/kv.py ``KV.scale``, lane order
+    off*kvh + h) cannot ride this kernel: its per-token destination is a
+    kvh-wide lane slice at a dynamic non-128-aligned offset, which Mosaic
+    DMA cannot express — the caller scatters it with XLA on that (small)
+    operand instead."""
+    T, kvh2, hd = kv_new.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, kvh2, hd), lambda i, rows, offs: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, sp_new.shape[1]), lambda i, rows, offs: (i, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _store_scaled_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+            jax.ShapeDtypeStruct(scale_p.shape, scale_p.dtype),
+        ],
+        grid_spec=grid_spec,
+        # operands: rows, offs (prefetch), kv_new, sp_new, pool, scale_p
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rows, offs, kv_new, sp_new[:, None, :], kv_pool, scale_p)
+
+
 def pallas_store_kv(
     kv_pool: jax.Array,  # [N, ps, 2*kvh, hd]
     rows: jax.Array,  # [T] i32

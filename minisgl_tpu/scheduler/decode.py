@@ -15,6 +15,13 @@ from minisgl_tpu.core import Batch, Req
 @dataclass
 class DecodeManager:
     page_size: int
+    # hard per-row KV bound: positions must stay below this so page-table
+    # indices (width ceil(max_seq_len / page_size)) and the rope cache are
+    # never exceeded by a multi-step burst's over-generated tokens
+    max_seq_len: int = 1 << 30
+    # steady-state burst length (config.decode_steps): reservation accounting
+    # must cover the over-generation a burst can add past a row's remain_len
+    decode_steps: int = 1
     running_reqs: Set[Req] = field(default_factory=set)
 
     def filter_reqs(self, reqs: Iterable[Req]) -> None:
@@ -35,7 +42,11 @@ class DecodeManager:
     @property
     def inflight_tokens(self) -> int:
         reserved = (self.page_size - 1) * len(self.running_reqs)
-        return sum(req.remain_len for req in self.running_reqs) + reserved
+        # a K-step burst over-generates up to K tokens past a row's
+        # remain_len (dropped at result processing but still written to KV),
+        # so each row's future demand is at least one burst
+        k = self.decode_steps
+        return sum(max(req.remain_len, k) for req in self.running_reqs) + reserved
 
     def schedule_next_batch(
         self, decode_steps: int = 1, exclude: Optional[Set[Req]] = None
@@ -59,10 +70,19 @@ class DecodeManager:
         )
         if not reqs:
             return None
-        # a K-step burst needs K tokens of budget on every row; otherwise
-        # fall back to single-step (keeps the compiled variant set at {1, K})
+        # A K-step burst runs for EVERY row even when a row's remaining
+        # output budget is smaller: the over-generated tokens land in pages
+        # the allocator covers (lookahead + the inflight_tokens burst floor)
+        # and are dropped at result processing — the same over-generate-and-
+        # drop discipline overlap scheduling already applies to mid-burst
+        # EOS finishes (reference scheduler.py:159). Collapsing to K=1
+        # whenever ANY row neared its limit multiplied dispatch count ~4x on
+        # staggered-finish workloads (round-3 BENCHLOG). Only the hard KV
+        # bound collapses the burst (keeps the compiled variant set at
+        # {1, K}): positions must stay under max_seq_len so the page table
+        # and rope cache are never indexed out of range.
         k = decode_steps
-        if k > 1 and any(r.remain_len < k for r in reqs):
+        if k > 1 and any(r.device_len + k > self.max_seq_len for r in reqs):
             k = 1
         return Batch(reqs=reqs, phase="decode", decode_steps=k)
 

@@ -171,7 +171,11 @@ class Scheduler(SchedulerIOMixin):
         cache_manager = CacheManager(
             engine.num_pages, config.page_size, table_manager, config.cache_type
         )
-        decode_manager = DecodeManager(config.page_size)
+        decode_manager = DecodeManager(
+            config.page_size,
+            max_seq_len=engine.max_seq_len,
+            decode_steps=config.decode_steps,
+        )
         prefill_manager = PrefillManager(
             cache_manager, table_manager, decode_manager
         )
