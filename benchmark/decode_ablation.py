@@ -79,16 +79,23 @@ def build_meta(engine, bs: int, kv_len: int):
 
 def time_variant(engine, name: str, k: int) -> float:
     import minisgl_tpu.models.common as common
+    from minisgl_tpu.attention import with_store
     from minisgl_tpu.attention.metadata import pack_step_meta
     from minisgl_tpu.engine.step import build_step_fn
 
-    orig_store = common.store_kv
-    attn = engine._attn["decode"]
+    real_attn = engine._attn["decode"]
+    attn = real_attn
     model = engine.model
     if name == "nostore":
-        common.store_kv = lambda kv, lid, ppl, slots, k_, v_: kv
+        # attention without the (fused or prologue) store
+
+        def attn(q, pool, meta, new_kv=None):
+            o = real_attn(q, pool, meta)
+            return o if new_kv is None else (o, pool)
+
     elif name == "noattn":
-        attn = lambda q, pool, meta: q
+        # store happens, attention is the identity
+        attn = with_store(lambda q, pool, meta: q)
     elif name == "rpa":
         from minisgl_tpu.attention import create_attention_backend
 
@@ -105,8 +112,9 @@ def time_variant(engine, name: str, k: int) -> float:
 
         cp = int(name[2:])
         scale = engine.model_config.head_dim**-0.5
-        attn = lambda q, pool, meta: pallas_ragged_paged_attention(
-            q, pool, meta, scale=scale, block_q=1, pages_per_chunk=cp
+        attn = lambda q, pool, meta, new_kv=None: pallas_ragged_paged_attention(
+            q, pool, meta, scale=scale, block_q=1, pages_per_chunk=cp,
+            new_kv=new_kv,
         )
     elif name == "nolmhead":
         import jax.numpy as jnp
@@ -127,7 +135,7 @@ def time_variant(engine, name: str, k: int) -> float:
                 )
 
         model = _NoHead()
-    try:
+    try:  # noqa: the try/finally shape is kept for future global patches
         meta = build_meta(engine, BS, KV_LEN)
         packed = jax.device_put(pack_step_meta(meta), engine.mesh_info.replicated)
         dims = (BS, BS, meta.page_table.shape[1])
@@ -157,7 +165,7 @@ def time_variant(engine, name: str, k: int) -> float:
         )
         return ms_step
     finally:
-        common.store_kv = orig_store
+        pass
 
 
 def main() -> None:
@@ -193,13 +201,17 @@ def main() -> None:
         del engine
 
     if "smallpool" in variants:
+        # smallest pool that still fits the workload (vs PAGES for the main
+        # run) — a step-time delta here means an O(pool) copy crept in
+        need = BS * (KV_LEN // PS + 2) + 2
         engine = Engine(
             EngineConfig(
                 MODEL,
                 use_dummy_weight=True,
                 max_running_req=BS,
                 max_seq_len_override=2048,
-                num_page_override=PAGES // 4,
+                num_page_override=need,
+                page_size=PS,
             )
         )
         time_variant(engine, "smallpool", K)

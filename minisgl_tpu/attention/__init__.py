@@ -30,9 +30,27 @@ SUPPORTED_ATTN_BACKENDS: Registry[Callable[..., AttnImpl]] = Registry(
 )
 
 
+def with_store(impl: AttnImpl) -> AttnImpl:
+    """Adapt a read-only attention impl to the unified interface
+    ``impl(q, kv, meta, new_kv=(k, v, out_slots_abs)) -> (o, kv)``:
+    store the new tokens' KV (ops.kv.store_kv), then attend. The Pallas
+    decode kernel implements the store in-kernel instead (fused path)."""
+
+    def wrapped(q, kv, meta, new_kv=None):
+        if new_kv is None:
+            return impl(q, kv, meta)
+        from minisgl_tpu.ops.kv import store_kv
+
+        k_new, v_new, slots = new_kv
+        kv = store_kv(kv, 0, 1, slots, k_new, v_new)
+        return impl(q, kv, meta), kv
+
+    return wrapped
+
+
 def _make_xla_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:
-    return partial(
-        xla_paged_attention, page_size=page_size, scale=head_dim**-0.5
+    return with_store(
+        partial(xla_paged_attention, page_size=page_size, scale=head_dim**-0.5)
     )
 
 
@@ -54,7 +72,7 @@ def _make_rpa_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:
     """jax.experimental ragged-paged-attention kernel (library-tuned)."""
     from minisgl_tpu.attention.rpa_backend import rpa_attention
 
-    return partial(rpa_attention, scale=head_dim**-0.5)
+    return with_store(partial(rpa_attention, scale=head_dim**-0.5))
 
 
 SUPPORTED_ATTN_BACKENDS.register("rpa", _make_rpa_backend)

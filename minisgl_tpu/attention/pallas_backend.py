@@ -223,20 +223,39 @@ def _decode_kernel(
     num_seqs_ref,  # [1] i32
     pt_ref,  # [B, PB] i32 page tables (SMEM)
     # then positionally: q_ref [1, Hq, hd], pos_ref [1, 1, 1],
-    # qrid_ref [1, 1, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
+    # qrid_ref [1, 1, 1],
+    # (fused_store: kvn_ref [1, 2*kvh, hd] pool-dtype new KV row,
+    #  + int8: scn_ref [1, 2, 128] scale planes at lanes [0, kvh),
+    #          spn_ref [1, 1, 128] prefill-sidecar scale row),
+    # kv_hbm ANY [N, ps, 2*kvh, hd],
     # (sc_hbm ANY [N, 2, SW] decode scale sidecar, SW = ps*kvh — int8 only),
-    # output o_ref [1, Hq, hd],
+    # (fused_store int8: sp_hbm ANY [N, ps, 128]),
+    # outputs: o_ref [1, Hq, hd]
+    # (fused_store: + kvo_ref = kv_hbm aliased; int8: sco_ref, spo_ref),
     # scratch k_buf [2, CP, ps, kvh, hd], v_buf same, sems [2, CP, 2],
     # par_ref SMEM [1] i32 (buffer parity carried across grid programs),
     # (sc_buf [2, CP, 2, SW], sc_sems [2, CP] — int8 pools only)
+    # (fused_store: w_sems DMA [3] write-back semaphores)
     *refs,
     scale: float,
     pages_per_chunk: int,
     diag: str = "",
     has_scale: bool = False,
     plane_major_ps: int = 0,
+    fused_store: bool = False,
 ):
-    if has_scale:
+    kvn_ref = scn_ref = spn_ref = sp_hbm = None
+    kvo_ref = sco_ref = spo_ref = w_sems = None
+    if fused_store and has_scale:
+        (q_ref, pos_ref, qrid_ref, kvn_ref, scn_ref, spn_ref,
+         kv_hbm, sc_hbm, sp_hbm,
+         o_ref, kvo_ref, sco_ref, spo_ref,
+         k_buf, v_buf, sems, par_ref, sc_buf, sc_sems, w_sems) = refs
+    elif fused_store:
+        (q_ref, pos_ref, qrid_ref, kvn_ref, kv_hbm,
+         o_ref, kvo_ref, k_buf, v_buf, sems, par_ref, w_sems) = refs
+        sc_hbm = sc_buf = sc_sems = None
+    elif has_scale:
         (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
          o_ref, k_buf, v_buf, sems, par_ref, sc_buf, sc_sems) = refs
     else:
@@ -281,6 +300,30 @@ def _decode_kernel(
         num_chunks = pl.cdiv(bound, Tc)
 
         use_scale = has_scale and diag != "noscale"
+
+        if fused_store:
+            # Fused KV store: this program owns the row, so it writes the
+            # current token's KV (and scales) itself — the separate store
+            # kernel + XLA sidecar scatter cost ~3 ms/step at bs=128
+            # (BENCHLOG round 3). HBM write-backs ride DMA queues under the
+            # chunk loop; the VMEM chunk buffers are patched after the
+            # owning chunk's read lands so the attention math sees the new
+            # token without a read-after-write trip through HBM. The
+            # current token is always in the row's LAST page (pos ==
+            # kv_len - 1 in decode), which is exclusively owned by this
+            # request — no cross-program write hazards.
+            page_idx = pos // ps
+            page_cur = pt_ref[b, page_idx]
+            off = pos % ps
+            chunk_cur = page_idx // CP
+            j_cur = page_idx % CP
+            pltpu.make_async_copy(
+                kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
+            ).start()
+            if has_scale:
+                pltpu.make_async_copy(
+                    spn_ref.at[0, 0], spo_ref.at[page_cur, off], w_sems.at[1]
+                ).start()
 
         if plane_major_ps:
             # contiguous per-plane page rows: one straight-line DMA each
@@ -406,6 +449,48 @@ def _decode_kernel(
 
             slot = (p0 + ci) % 2
             wait_dma(b, slot, ci)
+
+            if fused_store:
+
+                @pl.when(ci == chunk_cur)
+                def _():
+                    # patch the new token into the freshly-landed chunk
+                    k_buf[slot, j_cur, off] = kvn_ref[0, 0:kvh]
+                    v_buf[slot, j_cur, off] = kvn_ref[0, kvh : 2 * kvh]
+                    if use_scale:
+                        SW = sc_buf.shape[3]
+                        old = sc_buf[slot, j_cur]  # [2, SW]
+                        # place the token's [2, kvh] scales at lanes
+                        # off*kvh + h via a dynamic one-hot dot (a lane
+                        # slice at a dynamic offset is not expressible)
+                        src = jax.lax.broadcasted_iota(
+                            jnp.int32, (scn_ref.shape[2], SW), 0
+                        )
+                        dst = jax.lax.broadcasted_iota(
+                            jnp.int32, (scn_ref.shape[2], SW), 1
+                        )
+                        sel = (src + off * kvh == dst).astype(jnp.float32)
+                        w = jax.lax.dot_general(
+                            scn_ref[0], sel, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            # selection by a 0/1 matrix must reproduce the
+                            # f32 scale bit-exactly; the MXU's default
+                            # precision truncates f32 operands to bf16
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [2, SW]
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (2, SW), 1
+                        )
+                        win = (lane >= off * kvh) & (lane < off * kvh + kvh)
+                        sc_buf[slot, j_cur] = jnp.where(win, w, old)
+                        # write the patched row back (whole-row RMW: the
+                        # page is exclusive to this request)
+                        pltpu.make_async_copy(
+                            sc_buf.at[slot, j_cur],
+                            sco_ref.at[page_cur],
+                            w_sems.at[2],
+                        ).start()
+
             k_all = k_buf[slot].reshape(W, hd)  # contiguous: free
             v_all = v_buf[slot].reshape(W, hd)
             if k_all.dtype != q_ref.dtype:  # int8/fp8 pool: native upcast
@@ -466,6 +551,26 @@ def _decode_kernel(
         )
         m, l, acc = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
         par_ref[0] = (p0 + num_chunks) % 2  # next program's chunk-0 slot
+        if fused_store:
+            # drain the write-backs before the program ends (the patched
+            # sc_buf slot is reused by the next program's chunk DMAs)
+            pltpu.make_async_copy(
+                kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
+            ).wait()
+            if has_scale:
+                pltpu.make_async_copy(
+                    spn_ref.at[0, 0], spo_ref.at[page_cur, off], w_sems.at[1]
+                ).wait()
+                if use_scale:
+
+                    @pl.when(chunk_cur < num_chunks)
+                    def _():
+                        slot_cur = (p0 + chunk_cur) % 2
+                        pltpu.make_async_copy(
+                            sc_buf.at[slot_cur, j_cur],
+                            sco_ref.at[page_cur],
+                            w_sems.at[2],
+                        ).wait()
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -641,7 +746,16 @@ def pallas_ragged_paged_attention(
     interpret: bool = False,
     plane_major_ps: int = 0,
     fused_page: bool = False,
-) -> jax.Array:
+    new_kv=None,  # (k [T,kvh,hd], v [T,kvh,hd], out_slots_abs [T]) or None
+):
+    """Returns o [T, Hq, hd]; with ``new_kv`` returns (o, kv) after storing
+    the new tokens' KV — fused into the decode kernel when the flat
+    split-plane path applies, via ops.kv.store_kv otherwise."""
+    orig_kwargs = dict(
+        scale=scale, block_q=block_q, pages_per_chunk=pages_per_chunk,
+        interpret=interpret, plane_major_ps=plane_major_ps,
+        fused_page=fused_page,
+    )
     kv_pool = kv.data
     T, Hq, hd = q.shape
     if (
@@ -705,6 +819,22 @@ def pallas_ragged_paged_attention(
             f"int8 KV with the pallas decode kernel needs page_size * "
             f"kv_heads_local ({SW}) % 128 == 0; adjust --page-size"
         )
+    store_fused = (
+        new_kv is not None
+        and use_flat_decode
+        and not fused_page
+        and not plane_major_ps
+    )
+    if new_kv is not None and not store_fused:
+        # geometry outside the flat decode path (prefill/extend, fused-page,
+        # plane-major, misaligned kvh): store first, attend after
+        from minisgl_tpu.ops.kv import store_kv
+
+        k_new, v_new, slots = new_kv
+        kv = store_kv(kv, 0, 1, slots, k_new, v_new)
+        o = pallas_ragged_paged_attention(q, kv, meta, **orig_kwargs)
+        return o, kv
+
     B, PB = meta.page_table.shape
     BQ = block_q
     assert T % BQ == 0, (T, BQ)
@@ -722,29 +852,44 @@ def pallas_ragged_paged_attention(
         run = jnp.logical_and(b < ns[0], cu[b] + iq < cu[b + 1])
         return jnp.where(run, cu[b] + iq, n_blocks)
 
+    def _blocked(*tail):
+        return pl.BlockSpec(
+            tail, lambda b, iq, cu, kl, ns, pt: (
+                (_block_idx(b, iq, cu, kl, ns, pt),) + (0,) * (len(tail) - 1)
+            ),
+        )
+
+    _any = pl.BlockSpec(memory_space=pltpu.ANY)
+    o_spec = _blocked(BQ, Hq, hd)
+
+    # fused store (flat decode only): new-KV row inputs ride blocked specs;
+    # the pools become aliased ANY outputs the kernel writes back into
+    n_alias = 0
+    fused_in_specs = []
+    if store_fused:
+        from minisgl_tpu.ops.kv import SCALE_P_LANES
+
+        n_alias = 3 if has_scale else 1
+        fused_in_specs = [_blocked(BQ, kvh2, hd)]
+        if has_scale:
+            fused_in_specs += [
+                _blocked(1, 2, SCALE_P_LANES),
+                _blocked(1, 1, SCALE_P_LANES),
+            ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, max_q_blocks),
         in_specs=[
-            pl.BlockSpec(
-                (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
-                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, BQ, 1), lambda b, iq, cu, kl, ns, pt: (
-                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, BQ, 1), lambda b, iq, cu, kl, ns, pt: (
-                    _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            _blocked(BQ, Hq, hd),
+            _blocked(1, BQ, 1),
+            _blocked(1, BQ, 1),
         ]
-        + ([pl.BlockSpec(memory_space=pltpu.ANY)] if has_scale else []),
-        out_specs=pl.BlockSpec(
-            (BQ, Hq, hd), lambda b, iq, cu, kl, ns, pt: (
-                _block_idx(b, iq, cu, kl, ns, pt), 0, 0),
-        ),
+        + fused_in_specs
+        + [_any]
+        + ([_any] if has_scale else [])
+        + ([_any] if store_fused and has_scale else []),
+        out_specs=o_spec if n_alias == 0 else [o_spec] + [_any] * n_alias,
         scratch_shapes=(
             [  # fused-page decode: one whole-page buffer (tile-exact for
                 # every dtype: minor dims (ps*2kvh, hd))
@@ -784,7 +929,8 @@ def pallas_ragged_paged_attention(
             ]
             if has_scale
             else []
-        ),
+        )
+        + ([pltpu.SemaphoreType.DMA((3,))] if store_fused else []),
     )
 
     # one trailing garbage block absorbs skipped programs' flushes
@@ -796,6 +942,36 @@ def pallas_ragged_paged_attention(
     qrid_in = jnp.concatenate(
         [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
     ).reshape(n_blocks + 1, BQ, 1)
+
+    fused_inputs = []
+    if store_fused:
+        from minisgl_tpu.ops.kv import SCALE_P_LANES, pack_kv, quantize_kv_rows
+
+        k_new, v_new, _slots = new_kv
+        kvn = pack_kv(k_new, v_new)
+        if has_scale:
+            kvn, nscale = quantize_kv_rows(kvn)  # int8 + [T, 2kvh] f32
+            kvh = kvh2 // 2
+            scn = jnp.zeros((T, 2, SCALE_P_LANES), jnp.float32)
+            scn = jax.lax.dynamic_update_slice(
+                scn, nscale.reshape(T, 2, kvh), (0, 0, 0)
+            )
+            spn = jnp.zeros((T, 1, SCALE_P_LANES), jnp.float32)
+            spn = jax.lax.dynamic_update_slice(
+                spn, nscale[:, None, :], (0, 0, 0)
+            )
+        else:
+            kvn = kvn.astype(kv_pool.dtype)
+        fused_inputs = [
+            jnp.concatenate(
+                [kvn, jnp.zeros((pad,) + kvn.shape[1:], kvn.dtype)]
+            )
+        ]
+        if has_scale:
+            fused_inputs += [
+                jnp.concatenate([scn, jnp.zeros((pad, 2, SCALE_P_LANES), jnp.float32)]),
+                jnp.concatenate([spn, jnp.zeros((pad, 1, SCALE_P_LANES), jnp.float32)]),
+            ]
 
     if fused_page:
         kernel = functools.partial(
@@ -815,6 +991,7 @@ def pallas_ragged_paged_attention(
             diag=os.environ.get("MSLT_DECODE_DIAG", ""),
             has_scale=has_scale,
             plane_major_ps=plane_major_ps,
+            fused_store=store_fused,
         )
     else:
         kernel = functools.partial(
@@ -824,11 +1001,31 @@ def pallas_ragged_paged_attention(
             pages_per_chunk=CP,
             has_scale=has_scale,
         )
-    out = pl.pallas_call(
+    o_shape = jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype)
+    if store_fused:
+        out_shape = [o_shape, jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype)]
+        pool_args = [kv_pool]
+        # operand index of kv_pool counting the 4 scalar-prefetch args,
+        # q/pos/qrid, and the fused new-KV inputs
+        pool_op = 7 + len(fused_inputs)
+        aliases = {pool_op: 1}
+        if has_scale:
+            out_shape += [
+                jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),
+                jax.ShapeDtypeStruct(kv.scale_p.shape, kv.scale_p.dtype),
+            ]
+            pool_args += [kv_scale, kv.scale_p]
+            aliases.update({pool_op + 1: 2, pool_op + 2: 3})
+    else:
+        out_shape = o_shape
+        pool_args = [kv_pool] + ([kv_scale] if has_scale else [])
+        aliases = {}
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -840,10 +1037,18 @@ def pallas_ragged_paged_attention(
         q_in,
         pos_in,
         qrid_in,
-        kv_pool,
-        *([kv_scale] if has_scale else []),
+        *fused_inputs,
+        *pool_args,
     )
-    return out[:T]
+    if store_fused:
+        from minisgl_tpu.ops.kv import KV
+
+        if has_scale:
+            o, new_pool, new_scale, new_scale_p = outs
+            return o[:T], KV(new_pool, new_scale, new_scale_p)
+        o, new_pool = outs
+        return o[:T], KV(new_pool)
+    return outs[:T]
 
 
 # alignment the host batch builder must apply to each sequence's query
@@ -873,9 +1078,10 @@ def make_pallas_attention(*, page_size: int, scale: float, phase: str):
     block_q = QUERY_ALIGN["pallas"] if phase == "prefill" else 1
     cp = ENV.PAGES_PER_CHUNK or default_pages_per_chunk(page_size, phase)
 
-    def impl(q, kv, meta: AttnMetadata):
+    def impl(q, kv, meta: AttnMetadata, new_kv=None):
         return pallas_ragged_paged_attention(
-            q, kv, meta, scale=scale, block_q=block_q, pages_per_chunk=cp
+            q, kv, meta, scale=scale, block_q=block_q, pages_per_chunk=cp,
+            new_kv=new_kv,
         )
 
     return impl

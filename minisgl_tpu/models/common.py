@@ -42,13 +42,13 @@ from minisgl_tpu.layers.params import (
 from minisgl_tpu.models.config import ModelConfig
 from minisgl_tpu.moe import create_moe_backend
 from minisgl_tpu.ops.activation import ACT2FN
-from minisgl_tpu.ops.kv import KV, store_kv
+from minisgl_tpu.ops.kv import KV
 from minisgl_tpu.ops.normalization import fused_add_rmsnorm, rmsnorm
 from minisgl_tpu.ops.rope import apply_rope, compute_rope_cache
 from minisgl_tpu.parallel.mesh import MODEL_AXIS
 from minisgl_tpu.utils import div_even
 
-# attn_impl(q, kv_pool, meta) -> o
+# attn_impl(q, kv_pool, meta, new_kv=(k, v, out_slots_abs)) -> (o, kv_pool)
 AttnImpl = Callable[..., jax.Array]
 
 # the grouped-GEMM MoE implementation (minisgl_tpu/moe)
@@ -443,17 +443,22 @@ def decoder_forward(
             q = apply_rope(q, cos_sin)
             k = apply_rope(k, cos_sin)
 
-            with jax.named_scope("store_kv"):
-                kv_pool = store_kv(
-                    kv_pool, layer_id, pages_per_layer, meta.out_slots, k, v
-                )
             # the layer "slice" of the pool is an integer page offset
-            # (ops/kv.py)
+            # (ops/kv.py); the KV store for the new tokens rides the
+            # attention impl (fused into the Pallas decode kernel; a
+            # store_kv prologue elsewhere — attention/__init__.py
+            # with_store)
             meta_l = meta._replace(
                 page_table=meta.page_table + layer_id * pages_per_layer
             )
+            page_size = kv_pool.data.shape[1]
+            abs_slots = (
+                layer_id * (pages_per_layer * page_size) + meta.out_slots
+            )
             with jax.named_scope("paged_attention"):
-                o = attn_impl(q, kv_pool, meta_l)
+                o, kv_pool = attn_impl(
+                    q, kv_pool, meta_l, new_kv=(k, v, abs_slots)
+                )
             o = _mm(o.reshape(T, nql * hd), lp, "o_w", w8a8).astype(x.dtype)
             o = _maybe_psum(o, tp)
 

@@ -1,0 +1,139 @@
+"""Parity tests for the fused KV-store decode path: the Pallas flat decode
+kernel writes the current token's KV (and int8 scales) itself
+(attention/pallas_backend.py fused_store) — output AND updated pools must
+match store_kv-then-attend exactly. Interpret mode on CPU; compiles natively
+on a real TPU (MINISGL_TPU_TESTS=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minisgl_tpu.attention.metadata import AttnMetadata
+from minisgl_tpu.attention.pallas_backend import pallas_ragged_paged_attention
+from minisgl_tpu.ops.kv import KV, store_kv
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+HD = 128 if not _interpret() else 32
+# int8 flat decode wants page_size * kvh % 128 == 0 on hardware
+PS = 16 if not _interpret() else 4
+KVH = 8
+HQ = 16
+TOL = dict(rtol=2e-5, atol=2e-5) if _interpret() else dict(rtol=2e-2, atol=2e-2)
+
+
+def _mk_decode_case(rng, kv_lens, int8):
+    """Decode rows whose LAST token's KV is NOT yet in the pool."""
+    B = len(kv_lens)
+    pages_cap = 16
+    N = B * pages_cap + 1
+    raw = rng.standard_normal((N, PS, 2 * KVH, HD)).astype(np.float32)
+    dtype = jnp.int8 if int8 else jnp.bfloat16
+    if int8:
+        amax = np.abs(raw).max(axis=-1)
+        sc = np.maximum(amax, 1e-8) / 127.0
+        qdata = np.clip(np.rint(raw / sc[..., None]), -127, 127).astype(np.int8)
+        flat = sc.reshape(N, PS, 2, KVH).transpose(0, 2, 1, 3).reshape(
+            N, 2, PS * KVH
+        )
+        sc_p = np.zeros((N, PS, 128), np.float32)
+        sc_p[:, :, : 2 * KVH] = sc
+        kv_pool = KV(
+            jnp.asarray(qdata),
+            jnp.asarray(flat, jnp.float32),
+            jnp.asarray(sc_p),
+        )
+    else:
+        kv_pool = KV(jnp.asarray(raw, dtype))
+
+    page_table = np.zeros((B, pages_cap), np.int32)
+    out_slots = np.zeros((B,), np.int32)
+    positions = np.zeros((B,), np.int32)
+    for b, kv_len in enumerate(kv_lens):
+        page_table[b] = 1 + b * pages_cap + np.arange(pages_cap)
+        pos = kv_len - 1
+        positions[b] = pos
+        out_slots[b] = page_table[b, pos // PS] * PS + pos % PS
+
+    q = jnp.asarray(
+        rng.standard_normal((B, HQ, HD)), jnp.bfloat16 if not int8 else jnp.bfloat16
+    )
+    k_new = jnp.asarray(rng.standard_normal((B, KVH, HD)), q.dtype)
+    v_new = jnp.asarray(rng.standard_normal((B, KVH, HD)), q.dtype)
+
+    meta = AttnMetadata(
+        out_slots=jnp.asarray(out_slots),
+        positions=jnp.asarray(positions),
+        page_table=jnp.asarray(page_table),
+        seq_lens=jnp.asarray(kv_lens, jnp.int32),
+        q_req_ids=jnp.arange(B, dtype=jnp.int32),
+        last_q_index=jnp.arange(B, dtype=jnp.int32),
+        cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32),
+        num_seqs=jnp.asarray([B], jnp.int32),
+    )
+    return q, kv_pool, meta, k_new, v_new, jnp.asarray(out_slots)
+
+
+def _run_case(int8: bool, kv_lens):
+    rng = np.random.default_rng(7)
+    q, kv_pool, meta, k_new, v_new, slots = _mk_decode_case(rng, kv_lens, int8)
+    scale = HD**-0.5
+
+    # reference: store first (ops.kv), then the unfused kernel
+    kv_ref = store_kv(kv_pool, 0, 1, slots, k_new, v_new)
+    o_ref = pallas_ragged_paged_attention(
+        q, kv_ref, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+
+    o, kv_out = pallas_ragged_paged_attention(
+        q, kv_pool, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(), new_kv=(k_new, v_new, slots),
+    )
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_ref, np.float32), **TOL
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kv_out.data), np.asarray(kv_ref.data)
+    )
+    if int8:
+        np.testing.assert_allclose(
+            np.asarray(kv_out.scale), np.asarray(kv_ref.scale), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_out.scale_p), np.asarray(kv_ref.scale_p), rtol=1e-6
+        )
+
+
+def test_fused_store_bf16():
+    # lengths straddling page and chunk boundaries, incl. a fresh page
+    _run_case(False, [1, PS, PS + 1, 3 * PS, 4 * PS - 1, 7 * PS + 3])
+
+
+def test_fused_store_int8():
+    _run_case(True, [1, PS, PS + 1, 3 * PS, 4 * PS - 1, 7 * PS + 3])
+
+
+def test_fused_store_fallback_prefill():
+    """new_kv on a non-flat geometry (block_q > 1) stores via ops.kv and
+    still returns (o, kv)."""
+    rng = np.random.default_rng(3)
+    q, kv_pool, meta, k_new, v_new, slots = _mk_decode_case(
+        rng, [1, PS + 1], int8=False
+    )
+    scale = HD**-0.5
+    # BQ=2 forces the general kernel path; metadata stays decode-shaped
+    # (each row q_len 1, segments padded by the builder normally — here we
+    # just exercise the store+return contract, not the attention numerics)
+    o, kv_out = pallas_ragged_paged_attention(
+        q, kv_pool, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(), fused_page=True,
+        new_kv=(k_new, v_new, slots),
+    )
+    kv_ref = store_kv(kv_pool, 0, 1, slots, k_new, v_new)
+    np.testing.assert_array_equal(
+        np.asarray(kv_out.data), np.asarray(kv_ref.data)
+    )
