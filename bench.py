@@ -39,6 +39,14 @@ MIN_LEN = int(os.environ.get("BENCH_MIN_LEN", "100"))
 MAX_LEN = int(os.environ.get("BENCH_MAX_LEN", "1024"))
 
 
+def _decimate(xs, n=32):
+    """Downsample a series to <=n evenly-spaced points for the stderr line."""
+    if len(xs) <= n:
+        return xs
+    step = len(xs) / n
+    return [xs[int(i * step)] for i in range(n)]
+
+
 def main() -> None:
     from minisgl_tpu.core import SamplingParams
     from minisgl_tpu.llm import LLM
@@ -95,6 +103,7 @@ def main() -> None:
 
     m = llm.metrics
     steps0 = (m.prefill_steps, m.decode_steps)
+    diag0 = (m.decode_tokens, m.decode_rows, m.decode_k_collapsed)
     loop0 = dict(llm.loop_times)
     tic = time.perf_counter()
     results = llm.generate(prompts, params)
@@ -106,10 +115,17 @@ def main() -> None:
     total_in = int(in_lens.sum())
     throughput = (total_in + total_out) / elapsed
     lt = {k: v - loop0.get(k, 0.0) for k, v in llm.loop_times.items()}
+    d_tok = m.decode_tokens - diag0[0]
+    d_rows = m.decode_rows - diag0[1]
+    d_coll = m.decode_k_collapsed - diag0[2]
     print(
         f"# in={total_in} out={total_out} time={elapsed:.2f}s "
         f"decode_tps={total_out / elapsed:.1f} "
         f"steps(prefill={n_prefill} decode={n_decode}) "
+        f"decode(avg_bs={d_rows / max(n_decode, 1):.1f} "
+        f"dispatched={d_tok} useful={total_out} "
+        f"waste={1 - total_out / max(d_tok, 1):.1%} k1_dispatches={d_coll} "
+        f"bs_series={_decimate(m.decode_bs_series[len(m.decode_bs_series) - n_decode:])}) "
         f"loop_s={{{', '.join(f'{k}: {v:.2f}' for k, v in lt.items())}}}",
         file=sys.stderr,
     )

@@ -33,6 +33,20 @@ class SchedulerMetrics:
     spec_draft_tokens: int = 0
     spec_accepted_tokens: int = 0
     spec_steps: int = 0
+    # decode-consolidation diagnostics: rows summed over decode dispatches
+    # (avg batch size = decode_rows / decode_steps) and dispatches that ran
+    # with a collapsed burst (k < configured decode_steps)
+    decode_rows: int = 0
+    decode_k_collapsed: int = 0
+    # per-dispatch row counts in dispatch order (ints; ~KB per bench run) —
+    # the consolidation time series behind avg_bs
+    decode_bs_series: list = field(default_factory=list)
+
+    def count_decode_dispatch(self, rows: int, k: int) -> None:
+        self.decode_rows += rows
+        self.decode_bs_series.append(rows)
+        if k == 1:
+            self.decode_k_collapsed += 1
 
     def count_prefill_admission(self, cached_len: int, extend_len: int) -> None:
         """Called once per request admission (not per chunk continuation)."""

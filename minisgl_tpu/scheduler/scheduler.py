@@ -684,6 +684,7 @@ class Scheduler(SchedulerIOMixin):
         else:
             self.metrics.decode_steps += 1
             self.metrics.decode_tokens += batch.size * batch.decode_steps
+            self.metrics.count_decode_dispatch(batch.size, batch.decode_steps)
         output = rep.engine.forward_batch(batch)
         # start the D2H token transfer NOW: it overlaps the device executing
         # this batch plus the host scheduling the next one, so the
