@@ -47,6 +47,74 @@ def _decimate(xs, n=32):
     return [xs[int(i * step)] for i in range(n)]
 
 
+# v5e chip peaks (reference analogue: the bandwidth-vs-torch harness,
+# /root/reference/python/minisgl/benchmark/perf.py:55-80, relates kernel
+# time to device peak; here the whole bench relates to the roofline)
+V5E_PEAK_HBM_GBPS = 819.0
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def _roofline(llm, in_lens, out_lens, events, t0, t1, decode_model_steps):
+    """MFU + decode HBM bandwidth vs the v5e roofline.
+
+    Per-phase wall time comes from inter-dispatch gaps: with pipelined
+    fetches the scheduler loop is throttled by device completion, so the
+    gap FOLLOWING a dispatch approximates that dispatch's device occupancy
+    (documented approximation; first/last gaps clipped to the timed window).
+    """
+    import numpy as np
+
+    eng = llm.engine
+    cfg_ps = eng.config.page_size
+    kvh = eng.model.dims.kv_heads_eff
+    hd = eng.model_config.head_dim
+    n_layers = eng.model_config.num_layers
+    kv_itemsize = eng.state.kv.data.dtype.itemsize
+    weight_bytes = sum(p.nbytes for p in eng.params.values())
+    n_params = sum(
+        int(np.prod(info.shape))  # logical (int4 stores packed)
+        for k, info in eng.model.params_spec.items()
+        if info.scale_of is None and info.init is None
+    )
+
+    # per-phase device time from dispatch gaps inside the timed window
+    ev = [(p, t) for p, t in events if t0 <= t <= t1] + [("end", t1)]
+    phase_s = {"prefill": 0.0, "decode": 0.0, "verify": 0.0}
+    for (p, t), (_, t_next) in zip(ev, ev[1:]):
+        phase_s[p] = phase_s.get(p, 0.0) + (t_next - t)
+
+    # exact decode HBM traffic from the workload: step j of request r reads
+    # ceil((in_r + j + 1) / ps) pages of K+V per layer (page-gated kernel),
+    # plus one full weight read per decode MODEL step (K per dispatch)
+    kv_read = 0
+    for i, o in zip(in_lens, out_lens):
+        j = np.arange(int(o))
+        kv_read += int(np.sum(-(-(i + j + 1) // cfg_ps))) * cfg_ps
+    kv_bytes = kv_read * 2 * kvh * hd * kv_itemsize * n_layers
+    decode_bytes = kv_bytes + decode_model_steps * weight_bytes
+    decode_s = phase_s["decode"]
+    decode_gbps = decode_bytes / decode_s / 1e9 if decode_s else 0.0
+
+    # model FLOPs: 2 * params per token (matmuls) + attention score/PV
+    # (4 * kv * kvh_total... attention is GQA: q heads attend, 2 dots of
+    # [hd] x [kv] per q head) — both terms over ALL computed tokens
+    n_tokens = int(np.sum(in_lens) + np.sum(out_lens))
+    mm_flops = 2.0 * n_params * n_tokens
+    q_heads = eng.model_config.num_qo_heads
+    attn_kv = kv_read  # decode side: one token vs its kv
+    for i in in_lens:  # prefill: sum_t t ~ i^2/2, causal
+        attn_kv += int(i) * (int(i) + 1) // 2
+    attn_flops = 4.0 * attn_kv * q_heads * hd * n_layers
+    elapsed = t1 - t0
+    mfu = (mm_flops + attn_flops) / elapsed / (V5E_PEAK_BF16_TFLOPS * 1e12)
+    return {
+        "phase_s": {k: round(v, 2) for k, v in phase_s.items() if v},
+        "decode_hbm_gbps": round(decode_gbps, 1),
+        "decode_hbm_frac": round(decode_gbps / V5E_PEAK_HBM_GBPS, 3),
+        "mfu": round(mfu, 4),
+    }
+
+
 def main() -> None:
     from minisgl_tpu.core import SamplingParams
     from minisgl_tpu.llm import LLM
@@ -81,7 +149,11 @@ def main() -> None:
         # than bf16 at its auto page size while halving KV memory (BENCHLOG
         # round 2). BENCH_KV_DTYPE=auto gives the bf16 baseline.
         kv_dtype=os.environ.get("BENCH_KV_DTYPE", "int8"),
-        quantization=os.environ.get("BENCH_QUANT", "none"),
+        # int8 weights are the serving default benched here (BASELINE.md
+        # north star is INT8-weight + quantized KV): NLL-gated
+        # (tests/models/test_quantization.py), +8% total throughput over
+        # bf16 weights once the loop is device-bound (BENCHLOG round 3)
+        quantization=os.environ.get("BENCH_QUANT", "int8"),
         # keep N result fetches in flight: the host loop is otherwise
         # RTT-bound on the one-behind D2H token fetch (~41 ms/iteration vs
         # ~11 ms device time through the tunnel; BENCHLOG host-loop
@@ -104,10 +176,16 @@ def main() -> None:
     m = llm.metrics
     steps0 = (m.prefill_steps, m.decode_steps)
     diag0 = (m.decode_tokens, m.decode_rows, m.decode_k_collapsed)
+    msteps0 = m.decode_model_steps
     loop0 = dict(llm.loop_times)
+    ev0 = len(m.dispatch_events)
     tic = time.perf_counter()
     results = llm.generate(prompts, params)
     elapsed = time.perf_counter() - tic
+    roof = _roofline(
+        llm, in_lens, out_lens, m.dispatch_events[ev0:], tic, tic + elapsed,
+        m.decode_model_steps - msteps0,
+    )
     n_prefill = m.prefill_steps - steps0[0]
     n_decode = m.decode_steps - steps0[1]
 
@@ -147,6 +225,11 @@ def main() -> None:
                 "decode_tok_s": round(total_out / elapsed, 1),
                 "elapsed_s": round(elapsed, 2),
                 "kv_dtype": os.environ.get("BENCH_KV_DTYPE", "int8"),
+                "quant": os.environ.get("BENCH_QUANT", "int8"),
+                # roofline accounting (v5e: 819 GB/s HBM, 197 bf16 TFLOPs):
+                # decode GB/s = exact workload KV reads + per-step weight
+                # reads over decode-attributed wall time
+                **roof,
             }
         )
     )

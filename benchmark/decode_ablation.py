@@ -94,8 +94,12 @@ def time_variant(engine, name: str, k: int) -> float:
             return o if new_kv is None else (o, pool)
 
     elif name == "noattn":
-        # store happens, attention is the identity
+        # store happens (unfused ops.kv path), attention is the identity
         attn = with_store(lambda q, pool, meta: q)
+    elif name == "nokv":
+        # no store, no attention: the non-attention step floor
+        def attn(q, pool, meta, new_kv=None):
+            return q if new_kv is None else (q, pool)
     elif name == "rpa":
         from minisgl_tpu.attention import create_attention_backend
 

@@ -56,13 +56,22 @@ def _enable_compile_cache() -> None:
     path = ENV.COMPILE_CACHE
     if not path or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return  # configured programmatically before Engine construction
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast AND cached CPU executables can deserialize
+        # with narrower ISA features than the host ("may SIGILL" + a
+        # observed wedged jax.distributed rank in the 2-process tests) —
+        # never default-cache on CPU; explicit JAX_COMPILATION_CACHE_DIR
+        # still opts in
+        return
     try:
         jax.config.update(
             "jax_compilation_cache_dir", os.path.expanduser(path)
         )
-        # cache even fast compiles: a 1 s CPU-test compile is still worth
-        # skipping, and bucket-ladder warmups compile dozens of variants
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache even sub-second compiles: warmup ladders compile dozens of
+        # small variants (the default 1.0 s threshold would skip them)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as e:  # unsupported on exotic backends: non-fatal
         logger.warning(f"compile cache unavailable: {e}")
 

@@ -38,13 +38,20 @@ class SchedulerMetrics:
     # with a collapsed burst (k < configured decode_steps)
     decode_rows: int = 0
     decode_k_collapsed: int = 0
+    decode_model_steps: int = 0  # sum of K over decode dispatches
     # per-dispatch row counts in dispatch order (ints; ~KB per bench run) —
     # the consolidation time series behind avg_bs
     decode_bs_series: list = field(default_factory=list)
+    # (phase, perf_counter) per dispatch: under pipelined scheduling the
+    # loop is throttled by device completion, so inter-dispatch gaps
+    # attribute wall time to the phase that occupied the device (the
+    # roofline accounting in bench.py)
+    dispatch_events: list = field(default_factory=list)
 
     def count_decode_dispatch(self, rows: int, k: int) -> None:
         self.decode_rows += rows
         self.decode_bs_series.append(rows)
+        self.decode_model_steps += k
         if k == 1:
             self.decode_k_collapsed += 1
 

@@ -677,6 +677,9 @@ class Scheduler(SchedulerIOMixin):
         return Batch(reqs=reqs, phase="verify")
 
     def _forward(self, rep: Replica, batch: Batch) -> ForwardData:
+        self.metrics.dispatch_events.append(
+            (batch.phase, time.perf_counter())
+        )
         if batch.is_prefill:
             self.metrics.prefill_steps += 1
         elif batch.phase == "verify":

@@ -50,7 +50,15 @@ config = SchedulerConfig(
     _unique_suffix=f".mh{base_port}",
 )
 
-scheduler = Scheduler(config)
+try:
+    scheduler = Scheduler(config)
+except Exception as e:  # noqa: BLE001 — init failures must EXIT, not hang
+    # print-then-hard-exit: an abnormal exit must not run jax.distributed's
+    # atexit shutdown barrier — with both ranks erroring at skewed times the
+    # barrier deadlocks and the process never dies (timing-dependent; the
+    # imbalance test caught it once the compile cache shifted init timing)
+    print(f"NODE{node_rank} INIT FAILED: {e}", flush=True)
+    os._exit(1)
 print(f"NODE{node_rank} READY devices={jax.device_count()}", flush=True)
 scheduler.run_forever()
 print(f"NODE{node_rank} EXIT", flush=True)
