@@ -37,12 +37,30 @@ def run(cache_type: str, wave1, wave2, out_len: int, model: str):
         max_seq_len_override=2048,
         cache_type=cache_type,
         decode_steps=8,
+        # serving defaults (bench.py): int8 KV at its auto page size
+        kv_dtype=os.environ.get("BENCH_KV_DTYPE", "int8"),
+        quantization=os.environ.get("BENCH_QUANT", "int8"),
+        pipeline_depth=4,
     )
     params = SamplingParams(temperature=0.0, max_tokens=out_len, ignore_eos=True)
-    # warm compile buckets with an unrelated workload
-    warm = [np.random.default_rng(9).integers(50_000, 60_000, 200).tolist()
-            for _ in range(4)]
-    llm.generate(warm, params)
+    # Warm with the SAME wave shapes on DIFFERENT tokens so every bucket
+    # the timed waves need — including the small cached-extend shapes the
+    # radix run produces on wave2 — is compiled outside the timed region
+    # (wave-shape compiles were 10x the actual wave time and inverted the
+    # first measurement of this harness).
+    rng = np.random.default_rng(9)
+    max_len = max(len(ids) for ids in wave1 + wave2)
+    warm_shared = rng.integers(50_000, 60_000, max_len).tolist()
+
+    def warm_wave(w):
+        return [
+            warm_shared[: len(ids) - 8]
+            + rng.integers(50_000, 60_000, 8).tolist()
+            for ids in w
+        ]
+
+    llm.generate(warm_wave(wave1), params)
+    llm.generate(warm_wave(wave2), params)
     tic = time.perf_counter()
     llm.generate(wave1, params)
     t1 = time.perf_counter() - tic

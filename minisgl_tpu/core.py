@@ -96,6 +96,13 @@ class Req:
         # scheduling advances one dispatch ahead of processed results and
         # finishes one token early; counting appended outputs is exact.)
         self.prompt_len = self.device_len
+        # copy-on-extend adoption of a mid-page prefix match (token-granular
+        # radix): before this request's first prefill step the engine copies
+        # boundary_rows rows of page boundary_src into the request's own
+        # page at index cached_len // page_size. Set by admission
+        # (scheduler/prefill.py), consumed once at dispatch.
+        self.boundary_src = -1
+        self.boundary_rows = 0
         assert 0 <= self.cached_len < self.device_len <= self.max_device_len
 
     @property

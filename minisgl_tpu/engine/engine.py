@@ -19,7 +19,7 @@ Departures from the reference's per-GPU-process design:
 from __future__ import annotations
 
 import time
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +169,7 @@ class Engine:
         # speculative verify is an extend forward: same ragged kernel
         self._attn["verify"] = self._attn["prefill"]
         self._step_fns: Dict[Tuple[str, bool], object] = {}
+        self._copy_fns: Dict[int, object] = {}  # copy_partial_pages buckets
         self.bs_buckets = config.decode_bs_buckets()
         self.token_buckets = getattr(
             config, "prefill_token_buckets", lambda: [self.max_seq_len]
@@ -354,6 +355,44 @@ class Engine:
         """Verify-phase sampling width: 1 (the re-fed last token) + the max
         draft tokens staged per row (config.spec_draft_tokens)."""
         return 1 + self.config.spec_draft_tokens
+
+    def copy_partial_pages(self, srcs: List[int], dsts: List[int]) -> None:
+        """Copy-on-extend for token-granular prefix adoption: duplicate each
+        src page into dst across ALL layers (+ int8 scale sidecars) before
+        the adopter's first prefill step. Whole-page copies are safe — rows
+        past the matched prefix are overwritten by the adopter's own writes
+        or masked by its shorter attention bound. Device-queue ordering
+        makes the copy land before the step that reads it."""
+        if not srcs:
+            return
+        n = len(srcs)
+        bucket = 1 << (n - 1).bit_length()  # pad with 0->0 dummy self-copies
+        sd = np.zeros((2, bucket), np.int32)
+        sd[0, :n] = srcs
+        sd[1, :n] = dsts
+        fn = self._copy_fns.get(bucket)
+        if fn is None:
+            L = self.model_config.num_layers
+            ppl = self.num_pages + 1  # pages per layer incl. dummy page 0
+
+            def copy_fn(state, sd):
+                offs = jnp.arange(L, dtype=jnp.int32)[:, None] * ppl
+                src = (sd[0][None, :] + offs).reshape(-1)
+                dst = (sd[1][None, :] + offs).reshape(-1)
+                kv = state.kv
+                new = kv._replace(data=kv.data.at[dst].set(kv.data[src]))
+                if kv.scale is not None:
+                    new = new._replace(
+                        scale=kv.scale.at[dst].set(kv.scale[src]),
+                        scale_p=kv.scale_p.at[dst].set(kv.scale_p[src]),
+                    )
+                return state._replace(kv=new)
+
+            fn = jax.jit(copy_fn, donate_argnums=0)
+            self._copy_fns[bucket] = fn
+        self.state = fn(
+            self.state, jax.device_put(sd, self.mesh_info.replicated)
+        )
 
     def build_metadata(self, batch: Batch, page_lists) -> BatchMetadata:
         return build_batch_metadata(

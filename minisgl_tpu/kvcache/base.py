@@ -22,21 +22,32 @@ import numpy as np
 
 @dataclass(frozen=True)
 class BaseCacheHandle(ABC):
-    # token count of the cached prefix this handle pins
+    # token count of the cached prefix this handle pins (token-granular)
     cached_len: int
 
     @abstractmethod
     def get_matched_page_ids(self) -> np.ndarray:
-        """Page ids backing the matched prefix ([cached_len // page_size])."""
+        """Page ids backing the matched prefix ([ceil(cached_len /
+        page_size)]); a partial last page is READ-ONLY for the adopter
+        (copy-on-extend before writing)."""
 
 
 class SizeInfo(NamedTuple):
     evictable_size: int  # tokens
     protected_size: int  # tokens
+    # OWNED pages (a mid-split boundary page shared by two nodes counts
+    # once, at the parent) — the allocator's capacity unit; token counts no
+    # longer imply page counts under token-granular matching
+    evictable_pages: int = 0
+    protected_pages: int = 0
 
     @property
     def total_size(self) -> int:
         return self.evictable_size + self.protected_size
+
+    @property
+    def total_pages(self) -> int:
+        return self.evictable_pages + self.protected_pages
 
 
 class InsertResult(NamedTuple):
@@ -58,16 +69,18 @@ class BasePrefixCache(ABC):
 
     @abstractmethod
     def match_prefix(self, input_ids: np.ndarray) -> MatchResult:
-        """Longest page-aligned cached prefix of input_ids; does not modify
-        the cache."""
+        """Longest cached prefix of input_ids (TOKEN-granular — it may end
+        mid-page; the boundary page is then read-only for the adopter);
+        does not modify the cache."""
 
     @abstractmethod
     def insert_prefix(self, input_ids: np.ndarray, page_ids: np.ndarray) -> InsertResult:
-        """Insert a prefix backed by page_ids ([len(input_ids)//page_size])."""
+        """Insert a prefix backed by page_ids ([>= ceil(len/page_size)])."""
 
     @abstractmethod
-    def evict(self, size: int) -> np.ndarray:
-        """Evict >= size tokens of unlocked entries; returns freed page ids."""
+    def evict(self, num_pages: int) -> np.ndarray:
+        """Evict unlocked entries until >= num_pages owned pages are freed;
+        returns the freed page ids."""
 
     @abstractmethod
     def reset(self) -> None: ...

@@ -39,8 +39,8 @@ class NaivePrefixCache(BasePrefixCache):
     def insert_prefix(self, input_ids: np.ndarray, page_ids: np.ndarray) -> InsertResult:
         return InsertResult(0, _NaiveHandle(cached_len=0))
 
-    def evict(self, size: int) -> np.ndarray:
-        if size > 0:
+    def evict(self, num_pages: int) -> np.ndarray:
+        if num_pages > 0:
             raise RuntimeError("NaivePrefixCache cannot evict")
         return _EMPTY
 

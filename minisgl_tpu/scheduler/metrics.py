@@ -4,7 +4,7 @@ The north-star metric set (BASELINE.md): radix hit rate (cached vs computed
 prefill tokens) plus throughput/occupancy counters. The reference exposes no
 server metrics at all; the closest hook is its radix match accounting
 (/root/reference/python/minisgl/scheduler/prefill.py:39-63), which is where
-``count_prefill_admission`` is called from here too (PrefillAdder).
+``count_prefill_admission`` is called from here too (PrefillManager).
 Snapshots ride the detokenizer reply stream to the frontend's /metrics
 endpoint (message.MetricsSnapshot).
 """

@@ -1,18 +1,21 @@
-"""Prefill admission control + chunked prefill.
+"""Prefill admission + chunking: one budgeted FCFS loop.
 
-Behavioral parity with /root/reference/python/minisgl/scheduler/prefill.py:
-budget loop over pending requests (radix match -> lock -> double-check
-available size -> slot allocation -> chunk split when the remaining prompt
-exceeds the token budget), with the reserved-size accounting that protects
-in-flight decode demand (prefill.py:131-136 + decode.py:27-30). Chunked
-requests re-enter the pending queue ahead of everything else (Sarathi-style
-chunked prefill, docs/features.md:29-31).
+Same admission CONTRACT as the reference scheduler
+(/root/reference/python/minisgl/scheduler/prefill.py: FCFS order, radix
+match -> lock -> capacity double-check -> slot allocation, chunk split when
+the remaining prompt exceeds the token budget, reserved-size accounting
+protecting in-flight decode demand, Sarathi-style chunk re-entry at the
+queue head) — restructured as a single budgeted loop owned by the manager
+rather than the reference's adder/manager split, and extended with
+TOKEN-granular prefix adoption: a match may end mid-page, in which case the
+matched boundary page's rows are copied into the request's own fresh page
+before its first prefill step (copy-on-extend; CacheManager.adopt_plan).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import TYPE_CHECKING, List, Optional, Tuple
+from typing import TYPE_CHECKING, List, Optional
 
 import numpy as np
 
@@ -20,12 +23,15 @@ from minisgl_tpu.core import Batch, Req, SamplingParams
 from minisgl_tpu.utils import init_logger
 
 if TYPE_CHECKING:
-    from minisgl_tpu.kvcache.base import BaseCacheHandle
     from minisgl_tpu.scheduler.cache import CacheManager
     from minisgl_tpu.scheduler.decode import DecodeManager
     from minisgl_tpu.scheduler.table import TableManager
 
 logger = init_logger(__name__)
+
+# a partial-page prefix shorter than this is recomputed rather than adopted:
+# the copy-on-extend dispatch isn't worth a handful of cached tokens
+MIN_BOUNDARY_ADOPT = 16
 
 
 @dataclass
@@ -56,97 +62,6 @@ class ChunkedReq(Req):
 
 
 @dataclass
-class PrefillAdder:
-    token_budget: int
-    reserved_size: int
-    cache_manager: "CacheManager"
-    table_manager: "TableManager"
-    # query tokens are charged in q_align units so the padded batch the
-    # engine builds (Pallas block alignment, attention/pallas_backend.py)
-    # still fits the largest token bucket
-    q_align: int = 1
-    metrics: object = None  # SchedulerMetrics (optional)
-
-    def _try_allocate_one(
-        self, req: PendingReq
-    ) -> Optional[Tuple["BaseCacheHandle", int]]:
-        if self.table_manager.available_size == 0:
-            return None
-
-        handle = self.cache_manager.match_req(req).handle
-        cached_len = handle.cached_len
-        extend_len = req.input_len - cached_len
-        estimated_len = extend_len + req.output_len
-
-        if estimated_len + self.reserved_size > self.cache_manager.available_size:
-            return None
-        self.cache_manager.lock(handle)
-        # locking may not change availability, but re-check after it does
-        # (matches reference prefill.py:52-55 double-check)
-        if estimated_len + self.reserved_size > self.cache_manager.available_size:
-            self.cache_manager.unlock(handle)
-            return None
-
-        table_idx = self.table_manager.allocate()
-        if self.metrics is not None:
-            # north-star radix accounting: counted once per admission
-            self.metrics.count_prefill_admission(cached_len, extend_len)
-        if cached_len > 0:
-            # adopt the matched pages (shared with the radix tree; safe while
-            # the handle stays locked)
-            self.table_manager.page_lists[table_idx] = [
-                int(p) for p in handle.get_matched_page_ids()
-            ]
-        return handle, table_idx
-
-    def _add_one_req(
-        self,
-        pending_req: PendingReq,
-        cache_handle: "BaseCacheHandle",
-        table_idx: int,
-        cached_len: int,
-    ) -> Req:
-        remain_len = pending_req.input_len - cached_len
-        chunk_size = min(self.token_budget, remain_len)
-        is_chunked = chunk_size < remain_len
-        cls = ChunkedReq if is_chunked else Req
-        aligned = -(-chunk_size // self.q_align) * self.q_align
-        self.token_budget -= aligned
-        self.reserved_size += remain_len + pending_req.output_len
-        return cls(
-            input_ids=pending_req.input_ids[: cached_len + chunk_size],
-            table_idx=table_idx,
-            cached_len=cached_len,
-            output_len=pending_req.output_len,
-            uid=pending_req.uid,
-            cache_handle=cache_handle,
-            sampling_params=pending_req.sampling_params,
-        )
-
-    def try_add_one(self, pending_req: PendingReq) -> Optional[Req]:
-        if self.token_budget <= 0:
-            return None
-
-        if (chunked_req := pending_req.chunked_req) is not None:
-            return self._add_one_req(
-                pending_req,
-                cache_handle=chunked_req.cache_handle,
-                table_idx=chunked_req.table_idx,
-                cached_len=chunked_req.cached_len,
-            )
-
-        if resource := self._try_allocate_one(pending_req):
-            cache_handle, table_idx = resource
-            return self._add_one_req(
-                pending_req,
-                cache_handle=cache_handle,
-                table_idx=table_idx,
-                cached_len=cache_handle.cached_len,
-            )
-        return None
-
-
-@dataclass
 class PrefillManager:
     cache_manager: "CacheManager"
     table_manager: "TableManager"
@@ -161,31 +76,119 @@ class PrefillManager:
     def schedule_next_batch(
         self, prefill_budget: int, q_align: int = 1, metrics=None
     ) -> Optional[Batch]:
+        """Admit pending requests in FCFS order until the token budget or a
+        capacity limit stops the scan (head-of-line blocking is the
+        reference policy: a request that doesn't fit parks the queue)."""
         if not self.pending_list:
             return None
-        adder = PrefillAdder(
-            token_budget=prefill_budget,
-            reserved_size=self.decode_manager.inflight_tokens,
-            cache_manager=self.cache_manager,
-            table_manager=self.table_manager,
-            q_align=q_align,
-            metrics=metrics,
-        )
+        budget = prefill_budget
+        # in-flight decode demand that admission must not starve
+        reserved = self.decode_manager.inflight_tokens
         reqs: List[Req] = []
-        chunked_list: List[PendingReq] = []
-        for pending_req in self.pending_list:
-            if req := adder.try_add_one(pending_req):
-                pending_req.chunked_req = None
-                if isinstance(req, ChunkedReq):
-                    pending_req.chunked_req = req
-                    chunked_list.append(pending_req)
-                reqs.append(req)
-            else:
-                break  # in-order admission (FCFS)
+        chunked: List[PendingReq] = []
+        for pending in self.pending_list:
+            if budget <= 0:
+                break
+            req = self._admit_one(pending, budget, reserved, metrics)
+            if req is None:
+                break  # FCFS: the head request parks the queue
+            # budget is charged in q_align units so the padded batch the
+            # engine builds (Pallas block alignment) still fits the largest
+            # token bucket; reserved grows by the admitted request's full
+            # future demand
+            budget -= -(-req.extend_len // q_align) * q_align
+            reserved += (
+                pending.input_len - req.cached_len + pending.output_len
+            )
+            pending.chunked_req = req if isinstance(req, ChunkedReq) else None
+            if pending.chunked_req is not None:
+                chunked.append(pending)
+            reqs.append(req)
         if not reqs:
             return None
-        self.pending_list = chunked_list + self.pending_list[len(reqs):]
+        # chunk continuations re-enter at the head (Sarathi chunked prefill)
+        self.pending_list = chunked + self.pending_list[len(reqs):]
         return Batch(reqs=reqs, phase="prefill")
+
+    def _admit_one(
+        self, pending: PendingReq, budget: int, reserved: int, metrics
+    ) -> Optional[Req]:
+        """One admission attempt: continuation chunks keep their resources;
+        new requests run match -> lock -> capacity check -> slot + adoption."""
+        cm = self.cache_manager
+        if (prev := pending.chunked_req) is not None:
+            # continuation of a chunked prompt: resources already held
+            return self._make_req(
+                pending, budget,
+                cache_handle=prev.cache_handle,
+                table_idx=prev.table_idx,
+                cached_len=prev.cached_len,
+            )
+
+        if self.table_manager.available_size == 0:
+            return None
+        handle = cm.match_req(pending).handle
+        cached_len = handle.cached_len
+        if (
+            cached_len % cm.page_size != 0
+            and cached_len % cm.page_size < MIN_BOUNDARY_ADOPT
+        ):
+            # not worth a copy-on-extend dispatch: recompute the partial
+            # page (whole matched pages are still adopted)
+            cached_len -= cached_len % cm.page_size
+        demand = pending.input_len - cached_len + pending.output_len
+        if demand + reserved > cm.available_size:
+            return None
+        cm.lock(handle)
+        # locking may evict-protect pages; re-check capacity after it does
+        # (the reference's double-check, prefill.py:52-55)
+        if demand + reserved > cm.available_size:
+            cm.unlock(handle)
+            return None
+
+        table_idx = self.table_manager.allocate()
+        if metrics is not None:
+            # north-star radix accounting: counted once per admission
+            metrics.count_prefill_admission(
+                cached_len, pending.input_len - cached_len
+            )
+        boundary_src = boundary_rows = 0
+        if cached_len > 0:
+            plan = cm.adopt_plan(handle)
+            if cached_len % cm.page_size == 0:
+                # partial page skipped above: adopt whole pages only
+                self.table_manager.page_lists[table_idx] = plan.whole_pages
+            else:
+                self.table_manager.page_lists[table_idx] = plan.whole_pages
+                boundary_src = plan.boundary_src
+                boundary_rows = plan.boundary_rows
+        req = self._make_req(
+            pending, budget,
+            cache_handle=handle,
+            table_idx=table_idx,
+            cached_len=cached_len,
+        )
+        if boundary_rows:
+            req.boundary_src = boundary_src
+            req.boundary_rows = boundary_rows
+        return req
+
+    def _make_req(
+        self, pending: PendingReq, budget: int, *,
+        cache_handle, table_idx: int, cached_len: int,
+    ) -> Req:
+        remain = pending.input_len - cached_len
+        chunk = min(budget, remain)
+        cls = ChunkedReq if chunk < remain else Req
+        return cls(
+            input_ids=pending.input_ids[: cached_len + chunk],
+            table_idx=table_idx,
+            cached_len=cached_len,
+            output_len=pending.output_len,
+            uid=pending.uid,
+            cache_handle=cache_handle,
+            sampling_params=pending.sampling_params,
+        )
 
     def abort_req(self, uid: int) -> Optional[Req]:
         for i, req in enumerate(self.pending_list):

@@ -587,6 +587,8 @@ class Scheduler(SchedulerIOMixin):
             rep.cache_manager.allocate_paged(
                 batch.reqs, lookahead=batch.decode_steps - 1
             )
+            if batch.is_prefill:
+                self._dispatch_boundary_copies(rep, batch)
             batch.metadata = rep.engine.build_metadata(
                 batch, rep.table_manager  # TableManager: cached page arrays
             )
@@ -595,6 +597,28 @@ class Scheduler(SchedulerIOMixin):
                 f"T={batch.metadata.num_tokens} replica={rep.idx}"
             )
         return batches
+
+    def _dispatch_boundary_copies(self, rep: Replica, batch: Batch) -> None:
+        """Copy-on-extend for token-granular radix adoption: requests
+        admitted with a mid-page prefix match copy the matched rows of the
+        tree's boundary page into their own fresh page (allocated by
+        allocate_paged just above) before their first prefill step. One
+        batched device copy per dispatch; consumed once per admission."""
+        srcs: List[int] = []
+        dsts: List[int] = []
+        ps = self.config.page_size
+        for req in batch.reqs:
+            if req.boundary_rows:
+                srcs.append(req.boundary_src)
+                dsts.append(
+                    rep.table_manager.page_lists[req.table_idx][
+                        req.cached_len // ps
+                    ]
+                )
+                req.boundary_src = -1
+                req.boundary_rows = 0
+        if srcs:
+            rep.engine.copy_partial_pages(srcs, dsts)
 
     def _hint_spec(self, req: Req) -> bool:
         """Cheap settle-ahead test: would the lookup proposer (probably)

@@ -97,15 +97,16 @@ def test_cache_and_reuse(mgr):
     assert cache.prefix_cache.size_info.evictable_size == 12
     assert len(cache.free_pages) == NUM_PAGES - 3
 
-    # same prompt: matches everything except the last token's page rounding
+    # same prompt: token-granular match = everything except the last token
+    # (recomputed for logits); the partial third page is adoptable read-only
     pending2 = PendingReq(1, np.asarray(ids, np.int32), SamplingParams())
     m = cache.match_req(pending2).handle
-    # match excludes last token -> 11 usable -> page-aligned to 8
-    assert m.cached_len == 8
-    np.testing.assert_array_equal(
-        m.get_matched_page_ids(),
-        table.page_lists[req.table_idx][:2] if table.page_lists[req.table_idx] else m.get_matched_page_ids(),
-    )
+    assert m.cached_len == 11
+    assert len(m.get_matched_page_ids()) == 3  # ceil(11/4), last partial
+    plan = cache.adopt_plan(m)
+    assert len(plan.whole_pages) == 2
+    assert plan.boundary_rows == 3  # 11 % 4
+    assert plan.boundary_src == int(m.get_matched_page_ids()[2])
 
 
 def test_eviction_on_demand(mgr):
