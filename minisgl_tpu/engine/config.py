@@ -83,6 +83,12 @@ class EngineConfig:
     # suffix n-gram sizes tried (longest first) by the lookup proposer
     spec_ngram_max: int = 4
     spec_ngram_min: int = 2
+    # AOT-compile the remaining (phase, bucket, K) step variants on a
+    # daemon thread after serving starts: a cold bucket hit by live traffic
+    # costs 10-60 s of TTFT through remote compile. On for the HTTP serving
+    # plane (server/args.py); off for offline runs, which control their own
+    # warmup and would race the bench's timed window
+    background_warmup: bool = False
 
     def __post_init__(self):
         if self.page_size is None:

@@ -19,7 +19,8 @@ Departures from the reference's per-GPU-process design:
 from __future__ import annotations
 
 import time
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from collections import deque
+from typing import Deque, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,13 @@ class Engine:
         self._attn["verify"] = self._attn["prefill"]
         self._step_fns: Dict[Tuple[str, bool], object] = {}
         self._copy_fns: Dict[int, object] = {}  # copy_partial_pages buckets
+        self._shutdown = False
+        self._warmup_thread = None
+        # (key, dummy meta) pairs whose Compiled executable exists but has
+        # never run: first execution loads the program onto the device
+        # (seconds on remote runtimes); drained by idle_warmup_tick from
+        # the scheduler thread, which owns self.state
+        self._pending_first_exec: Deque = deque()
         self.bs_buckets = config.decode_bs_buckets()
         self.token_buckets = getattr(
             config, "prefill_token_buckets", lambda: [self.max_seq_len]
@@ -370,6 +378,11 @@ class Engine:
         sd = np.zeros((2, bucket), np.int32)
         sd[0, :n] = srcs
         sd[1, :n] = dsts
+        self.state = self._get_copy_fn(bucket)(
+            self.state, jax.device_put(sd, self.mesh_info.replicated)
+        )
+
+    def _get_copy_fn(self, bucket: int):
         fn = self._copy_fns.get(bucket)
         if fn is None:
             L = self.model_config.num_layers
@@ -390,9 +403,7 @@ class Engine:
 
             fn = jax.jit(copy_fn, donate_argnums=0)
             self._copy_fns[bucket] = fn
-        self.state = fn(
-            self.state, jax.device_put(sd, self.mesh_info.replicated)
-        )
+        return fn
 
     def build_metadata(self, batch: Batch, page_lists) -> BatchMetadata:
         return build_batch_metadata(
@@ -480,6 +491,160 @@ class Engine:
             f"bucket {self.token_buckets[0]}"
         )
 
+    def warmup_background(self) -> None:
+        """AOT-compile every remaining (phase, bucket, K, greedy) step
+        variant on a daemon thread while the engine serves (round-2 VERDICT
+        #10: a cold bucket ambushing live traffic cost 10-60 s of TTFT per
+        first hit through the remote-compile tunnel). ``lower().compile()``
+        touches no device state, so it is safe beside the serving loop; the
+        Compiled executable is installed into the step-fn table and called
+        directly (same signature, donation preserved)."""
+        import threading
+
+        t = threading.Thread(target=self._warm_all_variants, daemon=True)
+        t.start()
+        self._warmup_thread = t
+
+    def _abstract_args(self, meta: BatchMetadata):
+        def shape_of(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        packed = pack_step_meta(meta)
+        return (
+            jax.tree.map(shape_of, self.params),
+            jax.tree.map(shape_of, self.state),
+            jax.ShapeDtypeStruct(
+                packed.shape,
+                packed.dtype,
+                sharding=self.mesh_info.replicated,
+            ),
+        )
+
+    def _warm_all_variants(self) -> None:
+        from minisgl_tpu.engine.batch_builder import pages_bucket
+
+        PB = (
+            next_power_of_2(self.pages_cap)
+            if self.fixed_pages
+            else pages_bucket(1, self.pages_cap)
+        )
+        ks = [1] + (
+            [self.config.decode_steps] if self.config.decode_steps > 1 else []
+        )
+        # prefill row buckets EXACTLY as the builder picks them
+        # (batch_builder.py: PREFILL_BS_BUCKETS capped at len(page_lists) =
+        # max_running_req + 1 — the +1 dummy slot means the top bucket is
+        # NOT a power of two; warming 128 while traffic needs 129 was a
+        # 17 s TTFT ambush on the first full-load prefill)
+        from minisgl_tpu.engine.batch_builder import PREFILL_BS_BUCKETS
+
+        cap = self.config.max_running_req + 1
+        prefill_rows = [b for b in PREFILL_BS_BUCKETS if b < cap] + [cap]
+        variants = []
+        # cheap (small T) first, greedy before sampled: the order traffic
+        # most likely needs them
+        for greedy in (True, False):
+            for bs in self.bs_buckets:
+                for k in ks:
+                    variants.append(("decode", greedy, (bs, bs, PB), k))
+            for T in self.token_buckets:
+                # all (row, T) combos: row buckets pad ABOVE the real req
+                # count, so even row > T / q_align pairs occur (e.g. 128
+                # minimal extends pad to 129 rows x 2048 tokens)
+                for bs in prefill_rows:
+                    variants.append(("prefill", greedy, (bs, T, PB), 1))
+        n = 0
+        t0 = time.perf_counter()
+        # boundary-copy buckets (token-granular radix adoption): tiny
+        # kernels, but a first-hit compile mid-traffic still stalls 3-6 s
+        def shape_of(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        bucket = 1
+        while bucket <= self.config.max_running_req and not self._shutdown:
+            if bucket not in self._copy_fns:
+                try:
+                    compiled = self._get_copy_fn(bucket).lower(
+                        jax.tree.map(shape_of, self.state),
+                        jax.ShapeDtypeStruct(
+                            (2, bucket),
+                            np.int32,
+                            sharding=self.mesh_info.replicated,
+                        ),
+                    ).compile()
+                    self._copy_fns[bucket] = compiled
+                    self._pending_first_exec.append(("copy", bucket, None))
+                    n += 1
+                except Exception as e:
+                    logger.warning(f"copy-bucket compile {bucket} failed: {e}")
+            bucket *= 2
+        for phase, greedy, dims, k in variants:
+            key = (phase, greedy, dims, k, False)
+            if key in self._step_fns or self._shutdown:
+                continue
+            try:
+                fn = build_step_fn(
+                    self.model,
+                    self.mesh_info,
+                    self._attn[phase],
+                    phase,
+                    greedy,
+                    packed_dims=dims,
+                    decode_steps=k,
+                    kv_has_scale=self.kv_scaled,
+                    spec_cols=0,
+                )
+                meta = self._dummy_meta(phase, dims[0], dims[1], PB)
+                compiled = fn.lower(*self._abstract_args(meta)).compile()
+                # install only if the serving thread didn't get there first
+                if self._step_fns.setdefault(key, compiled) is compiled:
+                    # first EXECUTION still pays a device program load
+                    # (seconds through a remote runtime) — queue a one-time
+                    # dummy execution for the scheduler's idle ticks
+                    self._pending_first_exec.append(("step", key, meta))
+                n += 1
+            except Exception as e:  # background QoS: never kill serving
+                logger.warning(f"background compile {key} failed: {e}")
+        logger.info(
+            f"background warmup: {n} step variants compiled in "
+            f"{time.perf_counter() - t0:.0f}s"
+        )
+
+    @property
+    def warmup_ticks_pending(self) -> bool:
+        return bool(self._pending_first_exec)
+
+    def idle_warmup_tick(self) -> None:
+        """Execute ONE background-compiled step variant on a dummy batch so
+        its program is loaded on the device before traffic needs it. Called
+        from the scheduler thread when fully idle — it owns self.state, and
+        a dummy batch writes only the dummy page / slot 0 (same contract as
+        warmup())."""
+        if not self._pending_first_exec:
+            return
+        kind, key, meta = self._pending_first_exec.popleft()
+        try:
+            if kind == "copy":
+                # bucket of 0->0 dummy self-copies: loads the program, a
+                # value no-op on the pool
+                self.state = self._copy_fns[key](
+                    self.state,
+                    jax.device_put(
+                        np.zeros((2, key), np.int32), self.mesh_info.replicated
+                    ),
+                )
+                return
+            step = self._step_fns.get(key)
+            if step is None:
+                return
+            self.state, _ = step(
+                self.params,
+                self.state,
+                jax.device_put(pack_step_meta(meta), self.mesh_info.replicated),
+            )
+        except Exception as e:
+            logger.warning(f"idle warmup exec {key} failed: {e}")
+
     def _dummy_meta(self, phase: str, B: int, T: int, PB: int) -> BatchMetadata:
         q_req_ids = np.full((T,), -1, np.int32)
         q_req_ids[: (B if phase == "decode" else 1)] = (
@@ -509,4 +674,4 @@ class Engine:
         )
 
     def shutdown(self) -> None:
-        pass
+        self._shutdown = True  # stops the background warmup thread

@@ -97,9 +97,7 @@ class PrefillManager:
             # token bucket; reserved grows by the admitted request's full
             # future demand
             budget -= -(-req.extend_len // q_align) * q_align
-            reserved += (
-                pending.input_len - req.cached_len + pending.output_len
-            )
+            reserved += self._demand(pending, req.cached_len)
             pending.chunked_req = req if isinstance(req, ChunkedReq) else None
             if pending.chunked_req is not None:
                 chunked.append(pending)
@@ -109,6 +107,25 @@ class PrefillManager:
         # chunk continuations re-enter at the head (Sarathi chunked prefill)
         self.pending_list = chunked + self.pending_list[len(reqs):]
         return Batch(reqs=reqs, phase="prefill")
+
+    def _demand(self, pending: PendingReq, cached_len: int) -> int:
+        """Worst-case token-slot demand an admission adds to the pool:
+        uncached prompt + full output budget, plus the slack the allocator
+        can actually consume — page rounding (ps - 1), the K-burst
+        over-generation lookahead (allocate_paged covers decode_steps - 1
+        extra positions), and the copy-on-extend boundary page's rows below
+        cached_len (they live in the request's OWN fresh page). Matching
+        DecodeManager.inflight_tokens' discipline for running requests;
+        under-charging here over-admits and strands requests that cannot
+        allocate (pool near-full under token-granular radix retention)."""
+        ps = self.cache_manager.page_size
+        return (
+            pending.input_len - cached_len
+            + pending.output_len
+            + cached_len % ps
+            + (ps - 1)
+            + (self.decode_manager.decode_steps - 1)
+        )
 
     def _admit_one(
         self, pending: PendingReq, budget: int, reserved: int, metrics
@@ -136,7 +153,7 @@ class PrefillManager:
             # not worth a copy-on-extend dispatch: recompute the partial
             # page (whole matched pages are still adopted)
             cached_len -= cached_len % cm.page_size
-        demand = pending.input_len - cached_len + pending.output_len
+        demand = self._demand(pending, cached_len)
         if demand + reserved > cm.available_size:
             return None
         cm.lock(handle)

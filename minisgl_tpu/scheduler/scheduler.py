@@ -212,6 +212,12 @@ class Scheduler(SchedulerIOMixin):
     def warmup(self) -> None:
         for rep in self.replicas:
             rep.engine.warmup()
+        if self.config.background_warmup:
+            # serving plane: AOT-compile the remaining bucket variants on a
+            # daemon thread while requests are served (cold buckets cost
+            # 10-60 s of first-hit TTFT through remote compile)
+            for rep in self.replicas:
+                rep.engine.warmup_background()
 
     @property
     def eos_token_ids(self) -> Set[int]:
@@ -252,6 +258,14 @@ class Scheduler(SchedulerIOMixin):
         )
         if blocking:
             self.run_when_idle()
+            # idle device time loads background-compiled step programs one
+            # per iteration (first execution of an AOT executable pays a
+            # device load; engine.idle_warmup_tick); keep polling messages
+            # non-blocking while ticks remain
+            for rep in self.replicas:
+                if rep.engine.warmup_ticks_pending:
+                    rep.engine.idle_warmup_tick()
+                    blocking = False
         t0 = time.perf_counter()
         for msg in self.receive_msg(blocking=blocking):
             self._process_one_msg(msg)
@@ -416,6 +430,14 @@ class Scheduler(SchedulerIOMixin):
             else:
                 if batch.is_prefill:
                     rep.cache_manager.cache_req(req, finished=False)
+                if batch.phase == "verify":
+                    # staging advanced device_len to the request's limit, so
+                    # filter_reqs dropped it from the running set at
+                    # dispatch; the settle rewind above may have put it back
+                    # UNDER the limit (rejected drafts) — re-admit it or it
+                    # is stranded with its slot and pages leaked (found by
+                    # the on-chip spec bench: near-limit rejections)
+                    rep.decode_manager.filter_reqs([req])
                 if self.config.spec_algo != "none":
                     self._propose_drafts(req)
         self.send_result(reply)

@@ -102,6 +102,14 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     p.add_argument("--lockstep-port", type=int, default=31000)
     p.add_argument("--dist-init-port", type=int, default=31100)
     p.add_argument("--served-model-name")
+    # serving default ON: cold buckets ambushing live traffic cost 10-60 s
+    # of first-hit TTFT (engine.warmup_background)
+    p.add_argument(
+        "--no-background-warmup",
+        dest="background_warmup",
+        action="store_false",
+        default=True,
+    )
     ns = p.parse_args(argv)
     validate_attn_backend(ns.attention_backend)
     fields = {f.name for f in dataclasses.fields(ServerArgs) if f.init}

@@ -185,3 +185,36 @@ def test_spec_max_tokens_clamp(model_dir, monkeypatch):
     out = llm.generate([prompt], sp)[0]["token_ids"]
     assert out == plain and len(out) == 7
     llm.cache_manager.check_integrity()
+
+
+def test_spec_rejection_at_output_limit(model_dir, monkeypatch):
+    """Drafts staged right up to a request's output limit advance
+    device_len to max (filter_reqs drops the row from the running set at
+    dispatch); when the verify REJECTS drafts, the settle rewind puts the
+    request back under its limit — it must be re-admitted to decode, not
+    stranded with its slot and pages leaked (found by the on-chip spec
+    bench: the run deadlocked and idle integrity flagged 2 leaked pages)."""
+    import threading
+
+    import minisgl_tpu.scheduler.scheduler as sched_mod
+
+    def garbage(ids, max_drafts, ngram_max, ngram_min):
+        # always propose, always wrong: every verify rejects at position 0
+        return np.full((max_drafts,), 3, np.int32)
+
+    monkeypatch.setattr(sched_mod, "propose_lookup_drafts", garbage)
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    plain = _llm(model_dir).generate([RANDOM], sp)[0]["token_ids"]
+
+    llm = _llm(model_dir, spec_algo="lookup", spec_draft_tokens=6)
+    result = {}
+
+    def run():
+        result["out"] = llm.generate([RANDOM], sp)[0]["token_ids"]
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "request stranded after near-limit rejection"
+    assert result["out"] == plain
+    llm.cache_manager.check_integrity()

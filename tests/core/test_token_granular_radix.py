@@ -101,6 +101,53 @@ def test_mid_page_split_shares_page():
     c.check_integrity()
 
 
+def test_admission_under_full_radix_retention(tmp_path):
+    """Re-running a workload whose prefixes fully populate the radix tree
+    must not over-admit: every admitted request locks its matched path
+    (removing it from the evictable pool), and the admission reservation
+    must charge page rounding + K-burst lookahead + the boundary-copy rows
+    — under-charging strands admitted requests that cannot allocate
+    (caught as an eviction shortfall by the round-3 chip spec bench)."""
+    import os
+
+    from tests.helpers import save_tiny_hf_model
+    from minisgl_tpu.llm import LLM
+
+    model_dir = str(tmp_path / "m")
+    os.makedirs(model_dir)
+    save_tiny_hf_model(model_dir, "llama", max_position_embeddings=512)
+
+    rng = np.random.default_rng(0)
+    prompts = []
+    for _ in range(16):
+        block = rng.integers(100, 150, 12).tolist()
+        body = []
+        for i in range(6):
+            body += block + [200 + i]
+        prompts.append(body)
+
+    # pool sized so wave 2's radix retention + 16 admissions contend hard
+    llm = LLM(
+        model_dir,
+        use_dummy_weight=True,
+        max_running_req=16,
+        max_seq_len_override=256,
+        num_page_override=400,
+        page_size=4,
+        attention_backend="xla",
+        cache_type="radix",
+        decode_steps=8,
+        pipeline_depth=4,
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    w1 = llm.generate([p[:] for p in prompts], sp)
+    w2 = llm.generate(prompts, sp)  # identical ids: tree fully hot
+    for r1, r2 in zip(w1, w2):
+        assert r1["token_ids"] == r2["token_ids"]
+    for rep in llm.replicas:
+        rep.cache_manager.check_integrity()
+
+
 @pytest.mark.parametrize("shared_len", [96, 37])
 def test_e2e_partial_prefix_exact_tokens(tmp_path, shared_len):
     """Two prompts sharing a sub-page prefix: the second is admitted off a
