@@ -42,9 +42,9 @@ _NEG_INF = -1e30
 
 def _attn_kernel(
     # scalar prefetch
-    cu_q_blocks_ref,  # [B+1] i32, per-seq first q-block index (cu_q_lens/BQ)
+    blk_seq_ref,  # [n_blocks] i32: owning seq of each q block (-1 padding)
     kv_lens_ref,  # [B] i32
-    num_seqs_ref,  # [1] i32
+    num_seqs_ref,  # [1] i32 (unused; shared prefetch signature)
     pt_ref,  # [B, PB] i32 page tables (scalar prefetch, SMEM)
     # then positionally: q_ref [BQ, Hq, hd], pos_ref [1, BQ, 1],
     # qrid_ref [1, BQ, 1], kv_hbm ANY [N, ps, 2*kvh, hd],
@@ -57,6 +57,7 @@ def _attn_kernel(
     block_q: int,
     pages_per_chunk: int,
     has_scale: bool = False,
+    diag: str = "",
 ):
     if has_scale:
         (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
@@ -64,8 +65,17 @@ def _attn_kernel(
     else:
         q_ref, pos_ref, qrid_ref, kv_hbm, o_ref, kv_buf, sems = refs
         sc_hbm = sc_buf = sc_sems = None
-    b = pl.program_id(0)
-    iq = pl.program_id(1)
+    if diag == "io":  # diagnostic: grid + q/o block pipeline only, no math
+        o_ref[:] = q_ref[:]
+        return
+    # FLAT grid: one program per q BLOCK (not per (seq, block) pair). The
+    # former (B_pad, max_q_blocks) grid launched B_pad x n_blocks programs
+    # of which ~1/B were real — and every dead program still cycled its
+    # 256 KB q/o blocks through the pipeline: an io-only diagnostic showed
+    # the dead-block traffic alone was ~80% of the prefill step (BENCHLOG
+    # round 3). Padding blocks (whole-block q padding) carry seq -1.
+    i = pl.program_id(0)
+    b = blk_seq_ref[i]
     BQ = block_q
     CP = pages_per_chunk
     _, Hq, hd = q_ref.shape
@@ -75,8 +85,7 @@ def _attn_kernel(
     R = BQ * G
     Tc = CP * ps
 
-    num_q_blocks = cu_q_blocks_ref[b + 1] - cu_q_blocks_ref[b]
-    run = jnp.logical_and(b < num_seqs_ref[0], iq < num_q_blocks)
+    run = b >= 0
 
     @pl.when(run)
     def _():
@@ -112,19 +121,28 @@ def _attn_kernel(
         pos_q = pos_ref[0]  # [BQ, 1]
         valid_row = qrid_ref[0] == b  # [BQ, 1]
 
-        q_f = q_ref[:].astype(jnp.float32) * scale  # [BQ, Hq, hd]
+        # NO f32 prologue: q stays in its native dtype and ``scale`` folds
+        # into the f32 scores after each dot — casting/scaling the whole
+        # [BQ, Hq, hd] block materialized ~1 MB of f32 per program and the
+        # per-program prologue shuffling dominated prefill attention
         if BQ == 1:
-            # decode: group the G query heads of each kv head into one
-            # [G, hd] block — one dot per kv head instead of G matvecs
+            # decode fallback: group the G query heads of each kv head into
+            # one [G, hd] block — one dot per kv head instead of G matvecs
             # (q_ref[0, a:b, :] is a clean 2D slice; no cross-row reshape)
             q_heads = [
-                q_f[0, h * G : (h + 1) * G, :].astype(q_ref.dtype)
-                for h in range(kvh)
+                q_ref[0, h * G : (h + 1) * G, :] for h in range(kvh)
             ]
         else:
+            # FLAT per-kv-head blocks: all G query heads of kv head h stack
+            # into one [BQ*G, hd] operand ([BQ, G, hd] head slice, major-dim
+            # merge). The former per-q-head loop issued Hq tiny [BQ, Tc]
+            # dots + softmaxes per chunk (BENCHLOG round 3 prefill
+            # ablation). No redundant FLOPs: each q head still attends only
+            # its own kv head.
             q_heads = [
-                q_f[:, j, :].astype(q_ref.dtype) for j in range(Hq)
-            ]  # each [BQ, hd]; head j attends kv head j // G
+                q_ref[:, h * G : (h + 1) * G, :].reshape(BQ * G, hd)
+                for h in range(kvh)
+            ]
 
         def chunk_body(ci, carry):
             ms, ls, accs = carry
@@ -140,11 +158,31 @@ def _attn_kernel(
                 # prefill sidecar [CP, ps, 128] -> [Tc, 128]: token rows in
                 # sublanes, head scales in lanes (ops/kv.py layout)
                 sc_all = sc_buf[slot].reshape(Tc, 128)
+                lane_col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
             kv_idx = ci * Tc + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, Tc), dimension=1
             )
             mask = (kv_idx <= pos_q) & (kv_idx < kv_len) & valid_row
+            if BQ > 1:
+                # expand the [BQ, Tc] additive mask to flat rows [BQ*G, Tc]
+                # with ONE one-hot MXU dot shared by every kv head (row
+                # i*G+g -> q row i); a vector-unit reshape/broadcast to the
+                # same shape is a G-sublane relayout that cost 10% of the
+                # whole prefill step when tried. Finite _NEG_INF keeps
+                # 0 * mask products at 0 (a true -inf would NaN them).
+                amask = jnp.where(mask, 0.0, _NEG_INF)  # [BQ, Tc] f32
+                rows_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ * G, BQ), 0
+                ) // G
+                cols_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ * G, BQ), 1
+                )
+                expand = (rows_i == cols_i).astype(jnp.float32)
+                amask_R = jax.lax.dot_general(
+                    expand, amask, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [BQ*G, Tc]
 
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
@@ -152,68 +190,85 @@ def _attn_kernel(
                 k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
                 v = kv[:, kvh + h, :].astype(q_ref.dtype)
                 if has_scale:
-                    # extract head h's per-token scale column with a one-hot
-                    # dot (lane h -> lane 0 broadcastable [Tc, 1] column; a
-                    # direct [:, h] lane slice is not Mosaic-lowerable) and
-                    # dequantize the chunk data
-                    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-                    sk_col = jax.lax.dot_general(
-                        sc_all, (lane == h).astype(jnp.float32),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [Tc, 1]
-                    sv_col = jax.lax.dot_general(
-                        sc_all, (lane == kvh + h).astype(jnp.float32),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    k = (k.astype(jnp.float32) * sk_col).astype(q_ref.dtype)
-                    v = (v.astype(jnp.float32) * sv_col).astype(q_ref.dtype)
-                groups = [h] if BQ == 1 else range(h * G, (h + 1) * G)
-                for j in groups:
-                    s = jax.lax.dot_general(
-                        q_heads[j],
-                        k,
+                    # head h's per-token scale as a [1, Tc] ROW via one
+                    # one-hot dot each for K and V (a [:, h] lane slice is
+                    # not Mosaic-lowerable); dequant lands on the [*, Tc]
+                    # scores/probabilities — hd x less work than scaling
+                    # the chunk data, and row-shaped so it broadcasts along
+                    # lanes with no transpose
+                    sk_row = jax.lax.dot_general(
+                        (lane_col == h).astype(jnp.float32), sc_all,
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [rows, Tc] (rows = G for decode, BQ for prefill)
-                    s = jnp.where(mask, s, _NEG_INF)
-                    m_new = jnp.maximum(
-                        ms[j], jnp.max(s, axis=1, keepdims=True)
-                    )
-                    p = jnp.exp(s - m_new)
-                    alpha = jnp.exp(ms[j] - m_new)
-                    l_new = ls[j] * alpha + jnp.sum(p, axis=1, keepdims=True)
-                    pv = jax.lax.dot_general(
-                        p.astype(v.dtype),
-                        v,
-                        (((1,), (0,)), ((), ())),
+                    )  # [1, Tc]
+                    sv_row = jax.lax.dot_general(
+                        (lane_col == kvh + h).astype(jnp.float32), sc_all,
+                        (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [rows, hd]
+                    )
+                if BQ == 1:
+                    s = scale * jax.lax.dot_general(
+                        q_heads[h], k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, Tc]
+                    if has_scale:
+                        s = s * sk_row
+                    s = jnp.where(mask, s, _NEG_INF)
+                    m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(ms[h] - m_new)
+                    l_new = ls[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    if has_scale:
+                        p = p * sv_row
+                    pv = jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, hd]
                     new_ms.append(m_new)
                     new_ls.append(l_new)
-                    new_accs.append(accs[j] * alpha + pv)
+                    new_accs.append(accs[h] * alpha + pv)
+                    continue
+                s = scale * jax.lax.dot_general(
+                    q_heads[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [BQ*G, Tc]
+                if has_scale:
+                    s = s * sk_row
+                s = s + amask_R
+                m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)  # [BQ*G, Tc]
+                alpha = jnp.exp(ms[h] - m_new)
+                l_new = ls[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                if has_scale:
+                    p = p * sv_row
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [BQ*G, hd]
+                new_ms.append(m_new)
+                new_ls.append(l_new)
+                new_accs.append(accs[h] * alpha + pv)
             return tuple(new_ms), tuple(new_ls), tuple(new_accs)
 
-        n_carries, rows = (kvh, G) if BQ == 1 else (Hq, BQ)
+        rows = G if BQ == 1 else BQ * G
         init = (
             tuple(
                 jnp.full((rows, 1), _NEG_INF, jnp.float32)
-                for _ in range(n_carries)
+                for _ in range(kvh)
             ),
-            tuple(jnp.zeros((rows, 1), jnp.float32) for _ in range(n_carries)),
-            tuple(jnp.zeros((rows, hd), jnp.float32) for _ in range(n_carries)),
+            tuple(jnp.zeros((rows, 1), jnp.float32) for _ in range(kvh)),
+            tuple(jnp.zeros((rows, hd), jnp.float32) for _ in range(kvh)),
         )
         ms, ls, accs = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
 
-        if BQ == 1:
-            for h in range(kvh):
-                o_h = accs[h] / jnp.maximum(ls[h], 1e-30)  # [G, hd]
+        for h in range(kvh):
+            o_h = accs[h] / jnp.maximum(ls[h], 1e-30)  # [rows, hd]
+            if BQ == 1:
                 o_ref[0, h * G : (h + 1) * G, :] = o_h.astype(o_ref.dtype)
-        else:
-            for j in range(Hq):
-                o_j = accs[j] / jnp.maximum(ls[j], 1e-30)  # [BQ, hd]
-                o_ref[:, j, :] = o_j.astype(o_ref.dtype)
+            else:
+                o_ref[:, h * G : (h + 1) * G, :] = o_h.reshape(
+                    BQ, G, hd
+                ).astype(o_ref.dtype)
 
 
 def _decode_kernel(
@@ -841,23 +896,41 @@ def pallas_ragged_paged_attention(
     CP = min(pages_per_chunk, PB)
     assert PB % CP == 0, (PB, CP)
     n_blocks = T // BQ
-    max_q_blocks = 1 if BQ == 1 and T == B else n_blocks
 
-    cu_q_blocks = meta.cu_q_lens // BQ  # [B+1], builder aligns segments
+    if use_flat_decode:
+        # decode kernels: one program per (seq, 1) — every program is real
+        max_q_blocks = 1 if BQ == 1 and T == B else n_blocks
+        grid = (B, max_q_blocks)
+        cu_q_blocks = meta.cu_q_lens // BQ  # [B+1], builder aligns segments
+        first_prefetch = cu_q_blocks
 
-    def _block_idx(b, iq, cu, kl, ns, pt):
-        # skipped programs (padding seq / block past the seq's segment) are
-        # routed to the trailing garbage block so they never clobber real
-        # output blocks when the pipeline flushes them
-        run = jnp.logical_and(b < ns[0], cu[b] + iq < cu[b + 1])
-        return jnp.where(run, cu[b] + iq, n_blocks)
+        def _block_idx(b, iq, cu, kl, ns, pt):
+            # skipped programs are routed to the trailing garbage block so
+            # they never clobber real output when the pipeline flushes
+            run = jnp.logical_and(b < ns[0], cu[b] + iq < cu[b + 1])
+            return jnp.where(run, cu[b] + iq, n_blocks)
 
-    def _blocked(*tail):
-        return pl.BlockSpec(
-            tail, lambda b, iq, cu, kl, ns, pt: (
-                (_block_idx(b, iq, cu, kl, ns, pt),) + (0,) * (len(tail) - 1)
-            ),
-        )
+        def _blocked(*tail):
+            return pl.BlockSpec(
+                tail, lambda b, iq, cu, kl, ns, pt: (
+                    (_block_idx(b, iq, cu, kl, ns, pt),) + (0,) * (len(tail) - 1)
+                ),
+            )
+    else:
+        # general (prefill/extend) kernel: FLAT grid, one program per q
+        # block, block index == program id. The owning seq rides a
+        # prefetched block->seq map (-1 for whole-block padding); the
+        # former (B_pad, n_blocks) grid wasted ~(B-1)/B of all block
+        # traffic on dead programs (io-only diagnostic, BENCHLOG round 3).
+        # Segments are BQ-aligned by the builder, so a block never
+        # straddles two segments and its first token names its seq.
+        grid = (n_blocks,)
+        first_prefetch = meta.q_req_ids[::BQ].astype(jnp.int32)
+
+        def _blocked(*tail):
+            return pl.BlockSpec(
+                tail, lambda i, bs, kl, ns, pt: (i,) + (0,) * (len(tail) - 1)
+            )
 
     _any = pl.BlockSpec(memory_space=pltpu.ANY)
     o_spec = _blocked(BQ, Hq, hd)
@@ -879,7 +952,7 @@ def pallas_ragged_paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, max_q_blocks),
+        grid=grid,
         in_specs=[
             _blocked(BQ, Hq, hd),
             _blocked(1, BQ, 1),
@@ -994,12 +1067,15 @@ def pallas_ragged_paged_attention(
             fused_store=store_fused,
         )
     else:
+        import os
+
         kernel = functools.partial(
             _attn_kernel,
             scale=scale,
             block_q=BQ,
             pages_per_chunk=CP,
             has_scale=has_scale,
+            diag=os.environ.get("MSLT_PREFILL_DIAG", ""),
         )
     o_shape = jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype)
     if store_fused:
@@ -1027,10 +1103,10 @@ def pallas_ragged_paged_attention(
         interpret=interpret,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
         ),
     )(
-        cu_q_blocks,
+        first_prefetch,
         meta.seq_lens,
         meta.num_seqs,
         meta.page_table,
