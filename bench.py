@@ -178,12 +178,13 @@ def main() -> None:
     diag0 = (m.decode_tokens, m.decode_rows, m.decode_k_collapsed)
     msteps0 = m.decode_model_steps
     loop0 = dict(llm.loop_times)
-    ev0 = len(m.dispatch_events)
     tic = time.perf_counter()
     results = llm.generate(prompts, params)
     elapsed = time.perf_counter() - tic
+    # dispatch_events is a bounded deque; _roofline already clips to the
+    # timed window by timestamp, so no index bookkeeping is needed
     roof = _roofline(
-        llm, in_lens, out_lens, m.dispatch_events[ev0:], tic, tic + elapsed,
+        llm, in_lens, out_lens, list(m.dispatch_events), tic, tic + elapsed,
         m.decode_model_steps - msteps0,
     )
     n_prefill = m.prefill_steps - steps0[0]
@@ -203,7 +204,7 @@ def main() -> None:
         f"decode(avg_bs={d_rows / max(n_decode, 1):.1f} "
         f"dispatched={d_tok} useful={total_out} "
         f"waste={1 - total_out / max(d_tok, 1):.1%} k1_dispatches={d_coll} "
-        f"bs_series={_decimate(m.decode_bs_series[len(m.decode_bs_series) - n_decode:])}) "
+        f"bs_series={_decimate(list(m.decode_bs_series)[-max(n_decode, 1):])}) "
         f"loop_s={{{', '.join(f'{k}: {v:.2f}' for k, v in lt.items())}}}",
         file=sys.stderr,
     )

@@ -182,6 +182,16 @@ class Engine:
         self.token_buckets = getattr(
             config, "prefill_token_buckets", lambda: [self.max_seq_len]
         )()
+        # Abstract shapes for background (thread) compilation, snapshotted
+        # HERE on the constructing thread: the scheduler thread donates and
+        # reassigns self.state (donate_argnums), so the warmup thread must
+        # never read live arrays (advisor, round 3). Shapes/shardings are
+        # invariant for the engine's lifetime — donation preserves them.
+        def _shape_of(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        self._abstract_params = jax.tree.map(_shape_of, self.params)
+        self._abstract_state = jax.tree.map(_shape_of, self.state)
 
     # ------------------------------------------------------------------ init
 
@@ -506,13 +516,10 @@ class Engine:
         self._warmup_thread = t
 
     def _abstract_args(self, meta: BatchMetadata):
-        def shape_of(x):
-            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
-
         packed = pack_step_meta(meta)
         return (
-            jax.tree.map(shape_of, self.params),
-            jax.tree.map(shape_of, self.state),
+            self._abstract_params,
+            self._abstract_state,
             jax.ShapeDtypeStruct(
                 packed.shape,
                 packed.dtype,
@@ -556,16 +563,18 @@ class Engine:
         n = 0
         t0 = time.perf_counter()
         # boundary-copy buckets (token-granular radix adoption): tiny
-        # kernels, but a first-hit compile mid-traffic still stalls 3-6 s
-        def shape_of(x):
-            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
-
+        # kernels, but a first-hit compile mid-traffic still stalls 3-6 s.
+        # copy_partial_pages rounds n UP to the next power of two, so the
+        # top reachable bucket is 1 << (max_running_req - 1).bit_length()
+        # (e.g. max_running_req=100 -> bucket 128) — warm through it
+        # (advisor, round 3).
+        top_bucket = 1 << max(0, self.config.max_running_req - 1).bit_length()
         bucket = 1
-        while bucket <= self.config.max_running_req and not self._shutdown:
+        while bucket <= top_bucket and not self._shutdown:
             if bucket not in self._copy_fns:
                 try:
                     compiled = self._get_copy_fn(bucket).lower(
-                        jax.tree.map(shape_of, self.state),
+                        self._abstract_state,
                         jax.ShapeDtypeStruct(
                             (2, bucket),
                             np.int32,
@@ -637,11 +646,23 @@ class Engine:
             step = self._step_fns.get(key)
             if step is None:
                 return
+            # non-greedy variants split state.rng inside the step; a dummy
+            # execution must not make unseeded sampling depend on warmup
+            # timing (advisor, round 3). Snapshot rng to host BEFORE the call
+            # (the step donates state) and restore it after.
+            greedy = key[1]
+            old_rng = None if greedy else np.asarray(self.state.rng)
             self.state, _ = step(
                 self.params,
                 self.state,
                 jax.device_put(pack_step_meta(meta), self.mesh_info.replicated),
             )
+            if old_rng is not None:
+                self.state = self.state._replace(
+                    rng=jax.device_put(
+                        jnp.asarray(old_rng), self.mesh_info.replicated
+                    )
+                )
         except Exception as e:
             logger.warning(f"idle warmup exec {key} failed: {e}")
 

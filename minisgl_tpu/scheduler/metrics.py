@@ -12,7 +12,14 @@ endpoint (message.MetricsSnapshot).
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass, field
+
+# Diagnostic series cap: the bench reads these (bench.py roofline/bs_series),
+# but on a long-running serving plane an unbounded list grows by one entry per
+# dispatch forever. 65536 entries (~5 MB of tuples) covers any bench pass and
+# several minutes of peak serving; older entries roll off.
+SERIES_MAXLEN = 65536
 
 
 @dataclass
@@ -39,14 +46,20 @@ class SchedulerMetrics:
     decode_rows: int = 0
     decode_k_collapsed: int = 0
     decode_model_steps: int = 0  # sum of K over decode dispatches
-    # per-dispatch row counts in dispatch order (ints; ~KB per bench run) —
-    # the consolidation time series behind avg_bs
-    decode_bs_series: list = field(default_factory=list)
+    # per-dispatch row counts in dispatch order — the consolidation time
+    # series behind avg_bs. Bounded ring (SERIES_MAXLEN): consumers take the
+    # most-recent window, so roll-off is safe.
+    decode_bs_series: deque = field(
+        default_factory=lambda: deque(maxlen=SERIES_MAXLEN)
+    )
     # (phase, perf_counter) per dispatch: under pipelined scheduling the
     # loop is throttled by device completion, so inter-dispatch gaps
     # attribute wall time to the phase that occupied the device (the
-    # roofline accounting in bench.py)
-    dispatch_events: list = field(default_factory=list)
+    # roofline accounting in bench.py). Bounded ring; bench.py filters by
+    # timestamp window rather than by index.
+    dispatch_events: deque = field(
+        default_factory=lambda: deque(maxlen=SERIES_MAXLEN)
+    )
 
     def count_decode_dispatch(self, rows: int, k: int) -> None:
         self.decode_rows += rows
