@@ -476,18 +476,23 @@ def _decode_kernel(
         q_f = q_ref[0].astype(jnp.float32) * scale  # [Hq, hd]
         q_all = q_f.astype(q_ref.dtype)
 
-        # own-head mask: score row j (q head) keeps only columns whose
-        # kv head c%kvh == j//G — static, hoisted out of the chunk loop as an
-        # ADDITIVE mask so each chunk pays one add, not compare+select
-        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 0) // G
-        col_h = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) % kvh
-        col_t = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) // kvh
-        head_ok = (col_h == row_kvh) & valid
-        amask_head = jnp.where(head_ok, 0.0, _NEG_INF)  # [Hq, W] f32
+        # PAGE-granular compute (round 4): DMA stays chunk-granular (CP
+        # pages double-buffered) but the softmax/score math iterates only
+        # the REAL pages of the landed chunk at [Hq, W1 = ps*kvh] width.
+        # The former chunk-wide [Hq, CP*ps*kvh] formulation paid ~1 us of
+        # fixed VPU work per chunk regardless of how many pages were real:
+        # a sequence one token past a chunk boundary (kv=513 at Tc=512)
+        # paid a full extra chunk of wide softmax — measured e2e as
+        # 381 us/layer vs the ~200 us DMA bound (BENCHLOG round 4).
+        W1 = ps * kvh  # one page's flattened (token, head) width
+        row_kvh1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 0) // G
+        col_h1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 1) % kvh
+        col_t1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 1) // kvh
+        head_ok1 = (col_h1 == row_kvh1) & valid
+        amask_head1 = jnp.where(head_ok1, 0.0, _NEG_INF)  # [Hq, W1] f32
+        total_pages = pl.cdiv(bound, ps)
 
         def chunk_body(ci, carry):
-            m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,hd]
-
             @pl.when(ci + 1 < num_chunks)
             def _():
                 start_dma(b, (p0 + ci + 1) % 2, ci + 1)
@@ -546,58 +551,54 @@ def _decode_kernel(
                             w_sems.at[2],
                         ).start()
 
-            k_all = k_buf[slot].reshape(W, hd)  # contiguous: free
-            v_all = v_buf[slot].reshape(W, hd)
-            if k_all.dtype != q_ref.dtype:  # int8/fp8 pool: native upcast
-                k_all = k_all.astype(q_ref.dtype)
-
             if diag == "dmaonly":  # diagnostic: DMA + loop floor, no attn
+                m, l, acc = carry
+                k_all = k_buf[slot].reshape(W, hd)
+                v_all = v_buf[slot].reshape(W, hd)
                 touch = (
                     k_all[:Hq].astype(jnp.float32)
                     + v_all[:Hq].astype(jnp.float32)
                 )
                 return m, l, acc + touch
 
-            s = jax.lax.dot_general(
-                q_all, k_all, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Hq, W]
-            if use_scale:
-                # int8 pool: per-(token, head) dequant lands on the [Hq, W]
-                # scores/probs — hd x less work than scaling the KV data.
-                # Each page's sidecar row is already in flat (token, head)
-                # lane order (ops/kv.py), so the chunk's scale row is a
-                # lane-concat of whole-page rows.
-                sc = sc_buf[slot]  # [CP, 2, SW]
-                sck = jnp.concatenate(
-                    [sc[j, 0:1] for j in range(CP)], axis=1
-                )  # [1, W]
-                scv = jnp.concatenate(
-                    [sc[j, 1:2] for j in range(CP)], axis=1
-                )
-                s = s * sck
-            s = s + amask_head
-            # only the FINAL chunk can contain out-of-range tokens
-            # (t >= bound = min(pos+1, kv_len)); interior chunks skip the
-            # token-range mask entirely
-            s = jax.lax.cond(
-                ci + 1 == num_chunks,
-                lambda s: jnp.where(ci * Tc + col_t < bound, s, _NEG_INF),
-                lambda s: s,
-                s,
-            )
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)  # zero off own-head columns
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            if use_scale:
-                p = p * scv
-            pv = jax.lax.dot_general(
-                p.astype(q_ref.dtype), v_all.astype(q_ref.dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Hq, hd]: zero weights off-head make this exact
-            return m_new, l_new, acc * alpha + pv
+            # only the real pages of this chunk (gated DMA fetched exactly
+            # these); the traced upper bound makes page-boundary overshoot
+            # cost one narrow iteration, not a whole wide chunk
+            pages_here = jnp.minimum(total_pages - ci * CP, CP)
+
+            def page_body(j, carry2):
+                m, l, acc = carry2
+                k_page = k_buf[slot, j].reshape(W1, hd)
+                v_page = v_buf[slot, j].reshape(W1, hd)
+                if k_page.dtype != q_ref.dtype:  # int8/fp8: native upcast
+                    k_page = k_page.astype(q_ref.dtype)
+                s = jax.lax.dot_general(
+                    q_all, k_page, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Hq, W1]
+                if use_scale:
+                    # per-(token, head) dequant on the score row — the
+                    # page's sidecar row is already in flat lane order
+                    s = s * sc_buf[slot, j, 0:1]
+                # own-head mask + token bound in one pass (the bound bites
+                # only on the final page; folding it here replaces the
+                # former per-chunk lax.cond)
+                tok = (ci * CP + j) * ps + col_t1
+                s = jnp.where(tok < bound, s + amask_head1, _NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)  # zero off own-head columns
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                if use_scale:
+                    p = p * sc_buf[slot, j, 1:2]
+                pv = jax.lax.dot_general(
+                    p.astype(q_ref.dtype), v_page.astype(q_ref.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Hq, hd]: zero weights off-head make this exact
+                return m_new, l_new, acc * alpha + pv
+
+            return jax.lax.fori_loop(0, pages_here, page_body, carry)
 
         init = (
             jnp.full((Hq, 1), _NEG_INF, jnp.float32),

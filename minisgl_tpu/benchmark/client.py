@@ -194,46 +194,72 @@ def process_results(results: Sequence[BenchOneResult]) -> BenchStats:
 
 # ----------------------------- trace readers -------------------------------
 
+# Trace row: (arrival_s, input_len, output_len, prefix_group, prefix_len).
+# prefix_group is None for a unique prompt; rows sharing a group id get
+# identical leading prefix_len tokens from synth_requests (the radix-cache
+# structure real traces carry — mooncake encodes it as block hash_ids,
+# reference client.py:445-470).
+TraceRow = Tuple[float, int, int, Optional[Any], int]
 
-def read_jsonl_trace(
-    path: str, limit: Optional[int] = None
-) -> List[Tuple[float, int, int]]:
-    """(arrival_s, input_len, output_len) rows from a production trace jsonl
-    (qwen/mooncake style: timestamp + input/output lengths per record)."""
-    rows: List[Tuple[float, int, int]] = []
+MOONCAKE_BLOCK = 512  # tokens per mooncake hash block
+
+
+def read_jsonl_trace(path: str, limit: Optional[int] = None) -> List[TraceRow]:
+    """Trace rows from a production jsonl (qwen/mooncake style: timestamp +
+    input/output lengths; optional prefix sharing via explicit
+    prefix_group/prefix_len fields or mooncake hash_ids)."""
+    rows: List[TraceRow] = []
     with open(path) as f:
         for line in f:
             if limit is not None and len(rows) >= limit:
                 break
             rec = json.loads(line)
             ts = rec.get("timestamp") or rec.get("arrival_time") or 0.0
-            in_len = rec.get("input_length") or rec.get("input_len") or 128
-            out_len = rec.get("output_length") or rec.get("output_len") or 128
-            rows.append((float(ts), int(in_len), int(out_len)))
+            in_len = int(
+                rec.get("input_length") or rec.get("input_len") or 128
+            )
+            out_len = int(
+                rec.get("output_length") or rec.get("output_len") or 128
+            )
+            group = rec.get("prefix_group")
+            plen = int(rec.get("prefix_len") or 0)
+            if group is None and rec.get("hash_ids"):
+                # mooncake: requests sharing the first hash block share at
+                # least one block of prefix (coarse but cache-faithful)
+                group = ("mc", rec["hash_ids"][0])
+                plen = min(MOONCAKE_BLOCK, max(in_len - 1, 0))
+            rows.append((float(ts), in_len, out_len, group, plen))
     if rows:
         t0 = rows[0][0]
-        rows = [(t - t0, i, o) for t, i, o in rows]
+        rows = [(t - t0, i, o, g, p) for t, i, o, g, p in rows]
         # mooncake traces stamp integer milliseconds (reference
         # client.py:445-470 divides by 1000); qwen traces use seconds.
         # A >3-day span in "seconds" means the file is ms-stamped.
         if rows[-1][0] > 3 * 86400:
-            rows = [(t / 1000.0, i, o) for t, i, o in rows]
+            rows = [(t / 1000.0, i, o, g, p) for t, i, o, g, p in rows]
     return rows
 
 
-def scale_traces(
-    rows: List[Tuple[float, int, int]], time_scale: float
-) -> List[Tuple[float, int, int]]:
+def scale_traces(rows: List[TraceRow], time_scale: float) -> List[TraceRow]:
     """time_scale > 1 spreads arrivals out (lower load), < 1 compresses."""
-    return [(t * time_scale, i, o) for t, i, o in rows]
+    return [(t * time_scale, *rest) for t, *rest in rows]
 
 
 def synth_requests(
-    rows: List[Tuple[float, int, int]], vocab: int = 10_000, seed: int = 0
+    rows: List[TraceRow], vocab: int = 10_000, seed: int = 0
 ) -> List[Tuple[float, Dict[str, Any]]]:
+    """Materialize token ids for trace rows. Rows in the same prefix_group
+    share their first prefix_len tokens (one prefix drawn per group), so
+    replay exercises the radix cache the way the real workload would."""
     rng = np.random.default_rng(seed)
+    prefixes: Dict[Any, List[int]] = {}
     out = []
-    for at, in_len, out_len in rows:
-        ids = rng.integers(10, vocab, in_len).tolist()
+    for at, in_len, out_len, group, plen in rows:
+        plen = min(plen, max(in_len - 1, 0)) if group is not None else 0
+        if group is not None and group not in prefixes:
+            # group prefixes are drawn at max length and sliced per row
+            prefixes[group] = rng.integers(10, vocab, 4096).tolist()
+        head = prefixes[group][:plen] if group is not None else []
+        ids = head + rng.integers(10, vocab, in_len - len(head)).tolist()
         out.append((at, dict(input_ids=ids, max_tokens=out_len)))
     return out

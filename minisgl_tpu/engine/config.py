@@ -83,6 +83,13 @@ class EngineConfig:
     # suffix n-gram sizes tried (longest first) by the lookup proposer
     spec_ngram_max: int = 4
     spec_ngram_min: int = 2
+    # drafting auto-gate: bypass speculative drafting while the running set
+    # is larger than this. The crossover is measured (BENCHLOG round 3:
+    # 7.9x at bs=2, 5.8x at bs=8, 0.31x at bs=32 — at large batch decode is
+    # no longer weights-bound and the verify extend fragments the decode
+    # pipeline), so the flag is safe to leave on in a server that sees both
+    # regimes. 0 disables the gate (always draft).
+    spec_max_batch: int = 8
     # AOT-compile the remaining (phase, bucket, K) step variants on a
     # daemon thread after serving starts: a cold bucket hit by live traffic
     # costs 10-60 s of TTFT through remote compile. On for the HTTP serving

@@ -239,20 +239,27 @@ class Engine:
                 return min(
                     4096, cfg.pages_per_req * max(4, cfg.max_running_req // 8)
                 )
-            # TPU without memory_stats (e.g. tunneled device): budget from
-            # the chip's known HBM minus what the params already hold
-            # (reference engine.py:148-189 probes allocations instead)
+            # TPU without memory_stats (e.g. tunneled device): probe the
+            # real free HBM by allocate-and-verify binary search — the
+            # reference's memory-probing discipline (engine.py:148-189) —
+            # instead of trusting a blind HBM-size constant (the 14B run
+            # previously needed a hand-tuned MSLT_HBM_GB override).
             from minisgl_tpu.env import ENV
 
-            hbm = ENV.HBM_GB * 1e9
-            param_bytes = sum(p.nbytes for p in self.params.values()) / max(
-                1, self.mesh_info.tp_size
-            )
-            avail = hbm * cfg.memory_ratio - param_bytes
-            logger.warning(
-                f"no device memory stats; budgeting KV from {hbm / 1e9:.0f} GB "
-                f"HBM - {param_bytes / 1e9:.2f} GB params"
-            )
+            avail = self._probe_free_bytes() if ENV.KV_PROBE else None
+            if avail is not None:
+                avail *= cfg.memory_ratio  # headroom for activations
+            else:
+                hbm = ENV.HBM_GB * 1e9
+                param_bytes = sum(
+                    p.nbytes for p in self.params.values()
+                ) / max(1, self.mesh_info.tp_size)
+                avail = hbm * cfg.memory_ratio - param_bytes
+                logger.warning(
+                    f"no device memory stats and no probe; budgeting KV "
+                    f"from {hbm / 1e9:.0f} GB HBM - {param_bytes / 1e9:.2f} "
+                    f"GB params"
+                )
         num_pages = int(avail // page_bytes)
         if num_pages <= 0:
             raise RuntimeError(
@@ -263,6 +270,48 @@ class Engine:
             f"KV sizing: {avail / 1e9:.2f} GB free/chip -> {num_pages} pages"
         )
         return num_pages
+
+    def _probe_free_bytes(self):
+        """Largest single device allocation that succeeds, by binary search
+        (granularity 256 MB) — run AFTER params are resident, so the result
+        IS the KV budget. Allocation happens inside jit (no host transfer);
+        a one-element fetch verifies it truly materialized (through remote
+        runtimes, errors only surface at a sync point). The reference's
+        equivalent probes torch allocations and all-reduces the result
+        (engine.py:148-189); here every host probes its own chips and
+        _agree_num_pages_across_hosts reconciles."""
+        from minisgl_tpu.env import ENV
+
+        step = 256 << 20
+        lo, hi = 0, int(ENV.HBM_GB * 1.5e9) // step  # units of `step`
+        dev = self.mesh_info.mesh.devices.flat[0]
+
+        def try_alloc(units: int) -> bool:
+            try:
+                with jax.default_device(dev):
+                    a = jax.jit(
+                        lambda: jnp.zeros((units * step,), jnp.uint8)
+                    )()
+                    np.asarray(a[:1])  # force materialization
+                del a
+                return True
+            except Exception:
+                return False
+
+        t0 = time.perf_counter()
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if try_alloc(mid):
+                lo = mid
+            else:
+                hi = mid
+        if lo == 0:
+            return None
+        logger.info(
+            f"KV memory probe: {lo * step / 1e9:.2f} GB allocatable "
+            f"({time.perf_counter() - t0:.1f}s)"
+        )
+        return lo * step
 
     def _agree_num_pages_across_hosts(self, num_pages: int) -> int:
         """Multi-host: every host must build the same page table. All-gather

@@ -55,8 +55,13 @@ class _Env:
     # Include the PID in log lines (useful with multi-process serving plane).
     LOG_PID = EnvField("LOG_PID", False, _parse_bool)
     # Per-chip HBM budget (GB) used for KV sizing when the device exposes no
-    # memory_stats (e.g. tunneled devices). v5e default.
+    # memory_stats (e.g. tunneled devices) AND the allocation probe is
+    # disabled or fails. v5e default.
     HBM_GB = EnvField("HBM_GB", 16.0, float)
+    # Allocate-and-verify binary-search probe of free HBM when the device
+    # exposes no memory_stats (engine._probe_free_bytes, the reference's
+    # memory-probing discipline). Set 0 to skip and trust MSLT_HBM_GB.
+    KV_PROBE = EnvField("KV_PROBE", True, _parse_bool)
     # KV pages fetched per double-buffered DMA chunk in the Pallas attention
     # kernel (A/B knob). 0 = auto: per-phase token target / page_size
     # (pallas_backend.default_pages_per_chunk).

@@ -439,7 +439,7 @@ class Scheduler(SchedulerIOMixin):
                     # the on-chip spec bench: near-limit rejections)
                     rep.decode_manager.filter_reqs([req])
                 if self.config.spec_algo != "none":
-                    self._propose_drafts(req)
+                    self._propose_drafts(rep, req)
         self.send_result(reply)
 
     def _route_replica(self, input_ids=None) -> Replica:
@@ -568,6 +568,27 @@ class Scheduler(SchedulerIOMixin):
             )
         if batch is not None:
             batches.append(batch)
+            if (
+                batch.is_prefill
+                and self.config.schedule_policy != "interleave"
+                and rep.decode_manager.runnable
+            ):
+                # Combined dispatch (round 4): admission/continuation
+                # prefills must not stall the decode stream. Prefill rows
+                # and running decode rows are DISJOINT requests (a request
+                # joins the running set only after its last prefill chunk,
+                # filter_reqs in _forward), so the decode burst rides the
+                # same iteration — under strict prefill-first the decode
+                # batch shrank toward the drain tail every time staggered
+                # finishers triggered replacement prefills (256-seq run:
+                # avg bs 76.8 vs the 128 bucket, round-3 BENCHLOG).
+                # "interleave" keeps its one-decode-between-chunks ITL
+                # contract unchanged.
+                decode = rep.decode_manager.schedule_next_batch(
+                    self.config.decode_steps
+                )
+                if decode is not None:
+                    batches.append(decode)
         elif self.config.spec_algo != "none":
             verify = self._schedule_verify(rep)
             if verify is not None:
@@ -582,7 +603,7 @@ class Scheduler(SchedulerIOMixin):
                 for r in rep.decode_manager.running_reqs
                 if r.spec_drafts is None
                 and r.spec_proposal is None
-                and self._hint_spec(r)
+                and self._hint_spec(rep, r)
             }
             decode = rep.decode_manager.schedule_next_batch(
                 self.config.decode_steps, exclude=withhold
@@ -642,7 +663,16 @@ class Scheduler(SchedulerIOMixin):
         if srcs:
             rep.engine.copy_partial_pages(srcs, dsts)
 
-    def _hint_spec(self, req: Req) -> bool:
+    def _spec_gated(self, rep: Replica) -> bool:
+        """Speculative drafting auto-gate by running-set size: above the
+        measured crossover (config.spec_max_batch; BENCHLOG round 3 spec
+        table) the verify extend costs more than the drafts save, so new
+        proposals are bypassed and rows stay in the plain decode flow.
+        Already-staged proposals still drain through _schedule_verify."""
+        lim = self.config.spec_max_batch
+        return lim > 0 and len(rep.decode_manager.running_reqs) > lim
+
+    def _hint_spec(self, rep: Replica, req: Req) -> bool:
         """Cheap settle-ahead test: would the lookup proposer (probably)
         find drafts for this request? Runs on the settled prefix — in-flight
         tokens may change the suffix, so the authoritative proposal happens
@@ -651,6 +681,8 @@ class Scheduler(SchedulerIOMixin):
         and the length only changes when results land)."""
         sp = req.sampling_params
         if not sp.is_greedy or sp.logprobs or not req.can_decode:
+            return False
+        if self._spec_gated(rep):
             return False
         L = len(req.input_ids)
         if getattr(req, "_spec_hint_len", -1) == L:
@@ -670,7 +702,7 @@ class Scheduler(SchedulerIOMixin):
         req._spec_hint = hit
         return hit
 
-    def _propose_drafts(self, req: Req) -> None:
+    def _propose_drafts(self, rep: Replica, req: Req) -> None:
         """Called when a request settles (its last in-flight result was just
         processed — the only moment its full history is host-known under
         overlap scheduling): run the lookup proposer and reserve the request
@@ -682,6 +714,7 @@ class Scheduler(SchedulerIOMixin):
             or len(req.input_ids) != req.device_len  # another batch in flight
             or not sp.is_greedy
             or sp.logprobs
+            or self._spec_gated(rep)
         ):
             return
         cfg = self.config

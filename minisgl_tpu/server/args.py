@@ -79,6 +79,13 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
                    help="max draft tokens verified per speculative step")
     p.add_argument("--spec-ngram-max", type=int, default=4)
     p.add_argument("--spec-ngram-min", type=int, default=2)
+    p.add_argument(
+        "--spec-max-batch", type=int, default=8,
+        help="bypass speculative drafting while more than this many "
+        "requests are running (measured crossover: drafting wins when "
+        "decode is weights-bound at small batch, loses ~3x at bs=32; "
+        "0 = always draft)",
+    )
     p.add_argument("--memory-ratio", type=float, default=0.9)
     p.add_argument("--max-seq-len", dest="max_seq_len_override", type=int)
     p.add_argument("--num-pages", dest="num_page_override", type=int)

@@ -4,9 +4,14 @@ processes via jax.distributed over localhost, request stream lockstepped by
 the ZMQ counted broadcast (scheduler/io.py).
 
 Usage: python multihost_worker.py <node_rank> <base_port> <model_dir> \
-    [num_pages] [pipeline_depth] [decode_steps]
-"""
+    [num_pages] [pipeline_depth] [decode_steps] [json_overrides]
 
+``json_overrides`` (SchedulerConfig field dict) additionally supports
+"devices_per_host": each process hosts that many virtual CPU devices, so a
+2-process run can span tp=4 (2 local chips per "host" — the non-toy
+lockstep geometry of VERDICT round 4)."""
+
+import json
 import os
 import sys
 
@@ -16,9 +21,12 @@ model_dir = sys.argv[3]
 num_pages = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 pipeline_depth = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 decode_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+overrides = json.loads(sys.argv[7]) if len(sys.argv) > 7 else {}
+devices_per_host = int(overrides.pop("devices_per_host", 1))
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={devices_per_host}"
 )
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
@@ -31,9 +39,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from minisgl_tpu.engine.config import SchedulerConfig
 from minisgl_tpu.scheduler.scheduler import Scheduler
 
-config = SchedulerConfig(
+kwargs = dict(
     model_path=model_dir,
-    tp_size=2,
+    tp_size=2 * devices_per_host,
     use_dummy_weight=True,
     max_running_req=4,
     max_seq_len_override=128,
@@ -49,6 +57,8 @@ config = SchedulerConfig(
     dist_init_port=base_port + 10,
     _unique_suffix=f".mh{base_port}",
 )
+kwargs.update(overrides)
+config = SchedulerConfig(**kwargs)
 
 try:
     scheduler = Scheduler(config)

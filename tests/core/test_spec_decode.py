@@ -218,3 +218,34 @@ def test_spec_rejection_at_output_limit(model_dir, monkeypatch):
     assert not t.is_alive(), "request stranded after near-limit rejection"
     assert result["out"] == plain
     llm.cache_manager.check_integrity()
+
+
+def test_spec_auto_gate_by_batch_size(model_dir):
+    """spec_max_batch bypasses drafting while the running set exceeds it
+    (measured crossover, BENCHLOG round 3: lookup wins at small batch,
+    loses ~3x at bs=32): with 4 repetitive prompts and spec_max_batch=2 no
+    proposals fire, outputs match plain greedy, and the flag stays safe to
+    leave enabled. spec_max_batch=0 disables the gate (drafting resumes)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    prompts = [REPETITIVE] * 4
+    plain = _llm(model_dir).generate(prompts, sp)
+
+    gated = _llm(
+        model_dir, spec_algo="lookup", spec_draft_tokens=4,
+        spec_ngram_min=1, spec_max_batch=2,
+    )
+    out = gated.generate(prompts, sp)
+    for p, s in zip(plain, out):
+        assert p["token_ids"] == s["token_ids"]
+    assert gated.metrics.spec_steps == 0  # gate held: no verify dispatched
+    gated.cache_manager.check_integrity()
+
+    ungated = _llm(
+        model_dir, spec_algo="lookup", spec_draft_tokens=4,
+        spec_ngram_min=1, spec_max_batch=0,
+    )
+    out2 = ungated.generate(prompts, sp)
+    for p, s in zip(plain, out2):
+        assert p["token_ids"] == s["token_ids"]
+    assert ungated.metrics.spec_steps > 0
+    ungated.cache_manager.check_integrity()

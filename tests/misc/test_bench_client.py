@@ -54,6 +54,36 @@ def test_trace_reader_and_scaling(tmp_path):
         '{"timestamp": 101.5, "input_length": 20, "output_length": 6}\n'
     )
     rows = read_jsonl_trace(str(p))
-    assert rows == [(0.0, 10, 5), (1.5, 20, 6)]
+    assert rows == [(0.0, 10, 5, None, 0), (1.5, 20, 6, None, 0)]
     scaled = scale_traces(rows, 2.0)
     assert scaled[1][0] == 3.0
+
+
+def test_trace_prefix_groups(tmp_path):
+    """Rows sharing a prefix_group get identical leading tokens from
+    synth_requests; mooncake hash_ids map to coarse block groups."""
+    from minisgl_tpu.benchmark.client import synth_requests
+
+    p = tmp_path / "trace.jsonl"
+    p.write_text(
+        '{"timestamp": 0, "input_length": 40, "output_length": 4, '
+        '"prefix_group": "a", "prefix_len": 30}\n'
+        '{"timestamp": 1, "input_length": 50, "output_length": 4, '
+        '"prefix_group": "a", "prefix_len": 30}\n'
+        '{"timestamp": 2, "input_length": 50, "output_length": 4}\n'
+        '{"timestamp": 3, "input_length": 600, "output_length": 4, '
+        '"hash_ids": [7, 9]}\n'
+        '{"timestamp": 4, "input_length": 700, "output_length": 4, '
+        '"hash_ids": [7, 11]}\n'
+    )
+    rows = read_jsonl_trace(str(p))
+    assert rows[0][3] == "a" and rows[0][4] == 30
+    assert rows[3][3] == ("mc", 7) and rows[3][4] == 512
+    reqs = synth_requests(rows)
+    a0, a1, uniq = reqs[0][1], reqs[1][1], reqs[2][1]
+    assert a0["input_ids"][:30] == a1["input_ids"][:30]
+    assert a0["input_ids"][30:] != a1["input_ids"][30:40]
+    assert uniq["input_ids"][:30] != a0["input_ids"][:30]
+    m0, m1 = reqs[3][1], reqs[4][1]
+    assert m0["input_ids"][:512] == m1["input_ids"][:512]
+    assert len(m0["input_ids"]) == 600 and len(m1["input_ids"]) == 700

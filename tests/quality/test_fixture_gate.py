@@ -1,0 +1,110 @@
+"""The quantization quality gate, armed (round-4 VERDICT #2).
+
+Round 3's gate ran on random weights and reported NEGATIVE NLL deltas —
+it could not detect genuine quantization damage. These tests run against
+the committed structured-weight fixture (assets/fixture-gate, built by
+minisgl_tpu/quality/fixture.py: trained on a low-entropy Markov corpus +
+function-preserving outlier-channel injection) and assert:
+
+1. every quant mode's NLL delta vs bf16 is strictly POSITIVE (quantization
+   hurts a model that actually predicts);
+2. the deltas rank as quantization theory predicts:
+   int4 > w8a8 > int8 (4-bit groups lose the most; per-token activation
+   quant is hit by the injected activation outliers; per-channel int8
+   weight-only the least among weight modes) and int8-KV stays below the
+   weight modes (per-(token, head) scales are the finest granularity);
+3. the gate TRIPS on a deliberately mis-scaled quantizer — the failure
+   mode round 3 proved would previously pass unnoticed.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURE = os.path.join(REPO, "assets", "fixture-gate")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURE, "model.safetensors")),
+    reason="fixture-gate checkpoint not generated "
+    "(python -m minisgl_tpu.quality.fixture assets/fixture-gate)",
+)
+
+
+@pytest.fixture(scope="module")
+def scores():
+    from minisgl_tpu.quality.fixture import eval_seqs
+    from minisgl_tpu.quality.nll import score_nll
+
+    seqs = eval_seqs(n=6, T=257)
+    out = {}
+    for name, kw in {
+        "bf16": dict(),
+        "int8": dict(quantization="int8"),
+        "w8a8": dict(quantization="w8a8"),
+        "int4": dict(quantization="int4"),
+        "int8kv": dict(kv_dtype="int8"),
+    }.items():
+        out[name] = score_nll(
+            FIXTURE, seqs, backend="xla", page_size=16, **kw
+        )["nll_per_token"]
+    return out
+
+
+def test_deltas_positive(scores):
+    base = scores["bf16"]
+    for mode in ("int8", "w8a8", "int4", "int8kv"):
+        assert scores[mode] > base, (
+            f"{mode} NLL {scores[mode]:.5f} did not exceed bf16 {base:.5f} "
+            f"— the gate has no teeth on this fixture"
+        )
+
+
+def test_deltas_ranked(scores):
+    base = scores["bf16"]
+    d = {m: scores[m] - base for m in ("int8", "w8a8", "int4", "int8kv")}
+    assert d["int4"] > d["w8a8"] > d["int8"], d
+    assert d["int8kv"] < d["w8a8"], d
+
+
+def test_gate_trips_on_broken_quantizer(monkeypatch, scores):
+    """A 2x-mis-scaled int8 weight quantizer (the kind of silent bug the
+    gate exists to catch) must blow the delta far past the healthy one."""
+    import minisgl_tpu.layers.params as P
+    import minisgl_tpu.models.weight as W
+    from minisgl_tpu.quality.fixture import eval_seqs
+    from minisgl_tpu.quality.nll import score_nll
+
+    healthy = scores["int8"] - scores["bf16"]
+
+    real = P.quantize_int8
+
+    def broken(arr):
+        q, scale = real(arr)
+        return q, scale * 2.0  # dequant now doubles every weight
+
+    # patch at both import sites (weight.py binds it at module level)
+    monkeypatch.setattr(P, "quantize_int8", broken)
+    if hasattr(W, "quantize_int8"):
+        monkeypatch.setattr(W, "quantize_int8", broken)
+    seqs = eval_seqs(n=2, T=129)
+    bad = score_nll(
+        FIXTURE, seqs, backend="xla", page_size=16, quantization="int8"
+    )["nll_per_token"]
+    assert bad - scores["bf16"] > max(10 * healthy, 0.5), (
+        f"broken quantizer delta {bad - scores['bf16']:.4f} "
+        f"did not trip the gate (healthy delta {healthy:.4f})"
+    )
+
+
+def test_fixture_checkpoint_loads_bitfaithfully():
+    """The exporter's HF inversion is exact: loading the checkpoint and
+    scoring must reproduce a sane trained NLL (far below the 6.24-nat
+    uniform floor for a 512-token vocab), proving the name mapping and
+    transposes round-trip."""
+    from minisgl_tpu.quality.fixture import eval_seqs
+    from minisgl_tpu.quality.nll import score_nll
+
+    r = score_nll(FIXTURE, eval_seqs(n=2, T=129), backend="xla", page_size=16)
+    assert r["nll_per_token"] < 4.0, r
