@@ -23,10 +23,13 @@ two properties a real one has that make quantization damage measurable:
    v_proj-output / o_proj-input pairs puts outlier dims inside the V cache
    rows (damages int8-KV's per-(token, head) scales).
 
-The result: NLL deltas vs bf16 are strictly positive and ordered the way
-quantization theory predicts (int4 > w8a8 > int8 > int8-KV), so the gate
-can FAIL when a quant path regresses (tests/quality/test_fixture_gate.py
-proves it trips on a deliberately mis-scaled quantizer).
+The result: NLL deltas vs bf16 are strictly positive and obey the
+theory-forced partial order (int4 > int8; w8a8 worst overall — the
+injected activation outliers target exactly per-token activation quant;
+int8-KV positive via the copy-corpus induction task and the V-dim
+outliers, but below w8a8), so the gate can FAIL when a quant path
+regresses (tests/quality/test_fixture_gate.py proves it trips on a
+scale-layout off-by-one in the int8 quantizer).
 
 Generate once (seeded, deterministic given the JAX platform):
     python -m minisgl_tpu.quality.fixture assets/fixture-gate
@@ -65,23 +68,37 @@ BATCH, SEQ = 8, 256
 # outlier injection strengths (see module docstring): ffn channels hit
 # weight/activation quant, v-dims hit the KV cache quant
 FFN_OUTLIERS, FFN_SCALE = 16, 48.0
-V_OUTLIERS, V_SCALE = 4, 12.0
+V_OUTLIERS, V_SCALE = 16, 48.0
+
+
+CORPUS_VERSION = 2  # bump when the corpus distribution changes (cache key)
 
 
 def make_corpus(rng: np.random.Generator, n: int, T: int, vocab: int):
-    """Seeded first-order Markov sequences, ~0.9 nats/token entropy: each
-    token has 4 plausible successors with probs [.7, .15, .1, .05]."""
+    """Seeded Markov-walk-then-COPY sequences: the first half is a
+    first-order Markov walk (~0.9 nats/token: 4 plausible successors with
+    probs [.7, .15, .1, .05]); the second half REPEATS the first half
+    verbatim. Predicting the copy requires induction — attending to the
+    history and reading V content — so KV-cache quantization damage lands
+    in NLL (a pure Markov task is solvable by the MLP bigram table alone
+    and left int8-KV deltas at the noise floor).
+
+    The transition TABLE is fixed (seeded independently of ``rng``): train
+    and eval corpora walk the same chain, only the sampled paths differ —
+    otherwise eval would measure a chain the model never saw."""
+    table_rng = np.random.default_rng(SEED ^ 0x5EED)
     succ = np.stack(
-        [rng.permutation(vocab) for _ in range(4)], axis=1
+        [table_rng.permutation(vocab) for _ in range(4)], axis=1
     )  # [vocab, 4] distinct-ish successors per token
     probs = np.array([0.7, 0.15, 0.1, 0.05])
-    seqs = np.empty((n, T), np.int32)
+    half = (T + 1) // 2
+    walk = np.empty((n, half), np.int32)
     state = rng.integers(0, vocab, n)
-    for t in range(T):
-        seqs[:, t] = state
+    for t in range(half):
+        walk[:, t] = state
         choice = rng.choice(4, size=n, p=probs)
         state = succ[state, choice]
-    return seqs
+    return np.concatenate([walk, walk[:, : T - half]], axis=1)
 
 
 def _batched_nll_fn(model, mesh, attn, B: int, T: int, page_size: int = 16):
@@ -230,7 +247,9 @@ def inject_outliers(model, params: Dict, rng: np.random.Generator) -> Dict:
     for li in range(L):
         ch = rng.choice(I, FFN_OUTLIERS, replace=False)
         s = FFN_SCALE * np.exp(rng.normal(0, 0.3, FFN_OUTLIERS))
-        gate_up[li, :, I + ch] *= s[None, :]  # up output channels
+        # NB mixed slice+fancy indexing puts the advanced axis FIRST:
+        # gate_up[li, :, I+ch] has shape (n_ch, H)
+        gate_up[li, :, I + ch] *= s[:, None]  # up output channels
         down[li, ch, :] /= s[:, None]  # matching contraction rows
 
         # v_proj output dims live at qkv columns [q_out + kv_out, end);
@@ -238,7 +257,7 @@ def inject_outliers(model, params: Dict, rng: np.random.Generator) -> Dict:
         # of its kv head g // G, so every q head in the group compensates
         vdims = rng.choice(kv_out, V_OUTLIERS, replace=False)
         sv = V_SCALE * np.exp(rng.normal(0, 0.2, V_OUTLIERS))
-        qkv[li, :, q_out + kv_out + vdims] *= sv[None, :]
+        qkv[li, :, q_out + kv_out + vdims] *= sv[:, None]  # (n_v, H) view
         G = model.dims.q_heads // model.dims.kv_heads_eff
         for d, sc in zip(vdims, sv):
             h, off = divmod(int(d), hd)
@@ -317,7 +336,8 @@ def main() -> None:
     # cache the (expensive) training result so injection/export iterations
     # are instant; keyed by the training hyperparameters
     cache = os.path.expanduser(
-        f"~/.cache/mslt_fixture_{SEED}_{TRAIN_STEPS}_{BATCH}x{SEQ}.npz"
+        f"~/.cache/mslt_fixture_v{CORPUS_VERSION}_{SEED}_{TRAIN_STEPS}"
+        f"_{BATCH}x{SEQ}.npz"
     )
     if os.path.exists(cache):
         import jax.numpy as jnp
