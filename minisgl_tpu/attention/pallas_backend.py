@@ -29,6 +29,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -333,9 +334,11 @@ def _decode_kernel(
     """
     b = pl.program_id(0)
     CP = pages_per_chunk
+    NS = k_buf.shape[0]  # buffer slots (3: chunk double-buffer + one so the
+    # NEXT sequence's chunk-0 prefetch can be issued a chunk ahead)
     _, Hq, hd = q_ref.shape
     if plane_major_ps:
-        # plane-major pool [N, 2, ps*kvh, hd]: k_buf is [2, CP, ps*kvh, hd]
+        # plane-major pool [N, 2, ps*kvh, hd]: k_buf is [NS, CP, ps*kvh, hd]
         ps = plane_major_ps
         kvh = k_buf.shape[2] // ps
     else:
@@ -400,6 +403,8 @@ def _decode_kernel(
         # gating is static on page size. Decode positions are seq_len-1, so
         # kv_len alone bounds the page count.
         gate_dma = ps >= 64
+        if os.environ.get("MSLT_DECODE_GATE_DMA"):  # A/B experiments only
+            gate_dma = os.environ["MSLT_DECODE_GATE_DMA"] == "1"
 
         def n_pages(row):
             return (kv_lens_ref[row] + ps - 1) // ps
@@ -476,40 +481,67 @@ def _decode_kernel(
         q_f = q_ref[0].astype(jnp.float32) * scale  # [Hq, hd]
         q_all = q_f.astype(q_ref.dtype)
 
-        # PAGE-granular compute (round 4): DMA stays chunk-granular (CP
-        # pages double-buffered) but the softmax/score math iterates only
-        # the REAL pages of the landed chunk at [Hq, W1 = ps*kvh] width.
-        # The former chunk-wide [Hq, CP*ps*kvh] formulation paid ~1 us of
-        # fixed VPU work per chunk regardless of how many pages were real:
-        # a sequence one token past a chunk boundary (kv=513 at Tc=512)
-        # paid a full extra chunk of wide softmax — measured e2e as
-        # 381 us/layer vs the ~200 us DMA bound (BENCHLOG round 4).
+        # HYBRID chunk/page compute (round 4): full chunks keep the wide
+        # [Hq, W = CP*ps*kvh] formulation (one op set per chunk, no
+        # token-bound mask — interior tokens are always valid), while the
+        # final PARTIAL chunk computes page-by-page at [Hq, W1 = ps*kvh]
+        # width over only its real pages. The round-3 all-wide kernel paid
+        # a full chunk of fixed VPU softmax for one token past a chunk
+        # boundary (kv=513 at Tc=512: 381 us/layer vs the ~200 us DMA
+        # bound); an all-page-granular variant paid per-page loop overhead
+        # on full chunks and measured SLOWER e2e (15.4 vs 13.6 ms/step) —
+        # the hybrid takes each regime's cheaper path.
         W1 = ps * kvh  # one page's flattened (token, head) width
-        row_kvh1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 0) // G
-        col_h1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 1) % kvh
+        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 0) // G
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (Hq, W), 1) % kvh
+        head_ok = (col_h == row_kvh) & valid
+        amask_head = jnp.where(head_ok, 0.0, _NEG_INF)  # [Hq, W] f32
         col_t1 = jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 1) // kvh
-        head_ok1 = (col_h1 == row_kvh1) & valid
-        amask_head1 = jnp.where(head_ok1, 0.0, _NEG_INF)  # [Hq, W1] f32
+        amask_head1 = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 1) % kvh)
+            == (jax.lax.broadcasted_iota(jnp.int32, (Hq, W1), 0) // G),
+            0.0,
+            _NEG_INF,
+        )  # [Hq, W1]; `valid` folds into the tail's bound mask instead
         total_pages = pl.cdiv(bound, ps)
+        num_full = bound // Tc  # full chunks; tail chunk iff < num_chunks
 
-        def chunk_body(ci, carry):
+        def chunk_prologue(ci):
+            """Per-chunk DMA pipeline + fused-store patch; returns the
+            landed chunk's buffer slot. Shared by the wide full-chunk body
+            and the page-granular tail.
+
+            TRIPLE buffering (round 4): with 2 slots and a multi-chunk
+            sequence, the NEXT sequence's chunk-0 DMA could only be issued
+            at the current sequence's LAST chunk (its slot was still
+            live), so the DMA engine idled during each program's compute
+            and the wait exposed the whole transfer — measured as a
+            dmaonly floor of 8.8 ms/step vs the 5.6 ms byte bound. With 3
+            slots the cross-sequence prefetch is issued a full chunk ahead
+            (slot (p0 + num_chunks) % NS frees from chunk
+            max(num_chunks - (NS - 1), 0) onward), keeping the queue
+            fed. NS=2 (MSLT_DECODE_NSLOTS A/B) degrades to the classic
+            last-chunk prefetch: any earlier and the target slot is the
+            one the current chunk is still reading."""
+
             @pl.when(ci + 1 < num_chunks)
             def _():
-                start_dma(b, (p0 + ci + 1) % 2, ci + 1)
+                start_dma(b, (p0 + ci + 1) % NS, ci + 1)
 
-            # last chunk: its predecessor slot is free — prefetch the NEXT
-            # real sequence's chunk 0 there and publish the parity
             @pl.when(
                 jnp.logical_and(
-                    ci + 1 == num_chunks, b + 1 < num_seqs_ref[0]
+                    ci == jnp.maximum(num_chunks - (NS - 1), 0),
+                    b + 1 < num_seqs_ref[0],
                 )
             )
             def _():
-                start_dma(b + 1, (p0 + ci + 1) % 2, 0)
+                start_dma(b + 1, (p0 + num_chunks) % NS, 0)
 
-            slot = (p0 + ci) % 2
+            slot = (p0 + ci) % NS
             wait_dma(b, slot, ci)
+            return slot
 
+        def chunk_patch(ci, slot):
             if fused_store:
 
                 @pl.when(ci == chunk_cur)
@@ -551,62 +583,110 @@ def _decode_kernel(
                             w_sems.at[2],
                         ).start()
 
+        def wide_body(ci, carry):
+            """Full chunk: one wide op set, no token-bound mask (every
+            token of a full chunk is < bound)."""
+            m, l, acc = carry
+            slot = chunk_prologue(ci)
+            chunk_patch(ci, slot)
+
+            k_all = k_buf[slot].reshape(W, hd)
+            v_all = v_buf[slot].reshape(W, hd)
+            if k_all.dtype != q_ref.dtype:  # int8/fp8 pool: native upcast
+                k_all = k_all.astype(q_ref.dtype)
+
             if diag == "dmaonly":  # diagnostic: DMA + loop floor, no attn
-                m, l, acc = carry
-                k_all = k_buf[slot].reshape(W, hd)
-                v_all = v_buf[slot].reshape(W, hd)
                 touch = (
                     k_all[:Hq].astype(jnp.float32)
                     + v_all[:Hq].astype(jnp.float32)
                 )
                 return m, l, acc + touch
 
-            # only the real pages of this chunk (gated DMA fetched exactly
-            # these); the traced upper bound makes page-boundary overshoot
-            # cost one narrow iteration, not a whole wide chunk
-            pages_here = jnp.minimum(total_pages - ci * CP, CP)
-
-            def page_body(j, carry2):
-                m, l, acc = carry2
-                k_page = k_buf[slot, j].reshape(W1, hd)
-                v_page = v_buf[slot, j].reshape(W1, hd)
-                if k_page.dtype != q_ref.dtype:  # int8/fp8: native upcast
-                    k_page = k_page.astype(q_ref.dtype)
-                s = jax.lax.dot_general(
-                    q_all, k_page, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Hq, W1]
-                if use_scale:
-                    # per-(token, head) dequant on the score row — the
-                    # page's sidecar row is already in flat lane order
-                    s = s * sc_buf[slot, j, 0:1]
-                # own-head mask + token bound in one pass (the bound bites
-                # only on the final page; folding it here replaces the
-                # former per-chunk lax.cond)
-                tok = (ci * CP + j) * ps + col_t1
-                s = jnp.where(tok < bound, s + amask_head1, _NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                p = jnp.exp(s - m_new)  # zero off own-head columns
-                alpha = jnp.exp(m - m_new)
-                l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-                if use_scale:
-                    p = p * sc_buf[slot, j, 1:2]
-                pv = jax.lax.dot_general(
-                    p.astype(q_ref.dtype), v_page.astype(q_ref.dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Hq, hd]: zero weights off-head make this exact
-                return m_new, l_new, acc * alpha + pv
-
-            return jax.lax.fori_loop(0, pages_here, page_body, carry)
+            s = jax.lax.dot_general(
+                q_all, k_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, W]
+            if use_scale:
+                # int8 pool: per-(token, head) dequant on the [Hq, W]
+                # scores/probs — hd x less work than scaling the KV data.
+                sc = sc_buf[slot]  # [CP, 2, SW]
+                sck = jnp.concatenate(
+                    [sc[j, 0:1] for j in range(CP)], axis=1
+                )  # [1, W]
+                scv = jnp.concatenate(
+                    [sc[j, 1:2] for j in range(CP)], axis=1
+                )
+                s = s * sck
+            s = s + amask_head
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # zero off own-head columns
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if use_scale:
+                p = p * scv
+            pv = jax.lax.dot_general(
+                p.astype(q_ref.dtype), v_all.astype(q_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, hd]: zero weights off-head make this exact
+            return m_new, l_new, acc * alpha + pv
 
         init = (
             jnp.full((Hq, 1), _NEG_INF, jnp.float32),
             jnp.zeros((Hq, 1), jnp.float32),
             jnp.zeros((Hq, hd), jnp.float32),
         )
-        m, l, acc = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
-        par_ref[0] = (p0 + num_chunks) % 2  # next program's chunk-0 slot
+        carry = jax.lax.fori_loop(0, num_full, wide_body, init)
+
+        # tail chunk (present iff bound % Tc != 0): run its DMA pipeline
+        # once, then compute page-by-page over only the real pages
+        tail_slot = (p0 + num_full) % NS
+
+        @pl.when(num_full < num_chunks)
+        def _():
+            chunk_patch(num_full, chunk_prologue(num_full))
+
+        def page_body(g, carry2):
+            """g = global page index within [num_full*CP, total_pages)."""
+            m, l, acc = carry2
+            j = g - num_full * CP
+            k_page = k_buf[tail_slot, j].reshape(W1, hd)
+            v_page = v_buf[tail_slot, j].reshape(W1, hd)
+            if k_page.dtype != q_ref.dtype:  # int8/fp8: native upcast
+                k_page = k_page.astype(q_ref.dtype)
+            s = jax.lax.dot_general(
+                q_all, k_page, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, W1]
+            if use_scale:
+                s = s * sc_buf[tail_slot, j, 0:1]
+            # own-head mask + token bound + row validity in one pass (the
+            # bound bites only on the final page)
+            tok = g * ps + col_t1
+            s = jnp.where(
+                jnp.logical_and(tok < bound, valid),
+                s + amask_head1,
+                _NEG_INF,
+            )
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)  # zero off own-head columns
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if use_scale:
+                p = p * sc_buf[tail_slot, j, 1:2]
+            pv = jax.lax.dot_general(
+                p.astype(q_ref.dtype), v_page.astype(q_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, hd]: zero weights off-head make this exact
+            return m_new, l_new, acc * alpha + pv
+
+        if diag != "dmaonly":
+            carry = jax.lax.fori_loop(
+                num_full * CP, total_pages, page_body, carry
+            )
+        m, l, acc = carry
+        par_ref[0] = (p0 + num_chunks) % NS  # next program's chunk-0 slot
         if fused_store:
             # drain the write-backs before the program ends (the patched
             # sc_buf slot is reused by the next program's chunk DMAs)
@@ -621,7 +701,7 @@ def _decode_kernel(
 
                     @pl.when(chunk_cur < num_chunks)
                     def _():
-                        slot_cur = (p0 + chunk_cur) % 2
+                        slot_cur = (p0 + chunk_cur) % NS
                         pltpu.make_async_copy(
                             sc_buf.at[slot_cur, j_cur],
                             sco_ref.at[page_cur],
@@ -951,6 +1031,13 @@ def pallas_ragged_paged_attention(
                 _blocked(1, 1, SCALE_P_LANES),
             ]
 
+    # buffer slot count: the split-plane decode kernel triple-buffers so the
+    # next sequence's chunk-0 prefetch can be issued one chunk ahead (see
+    # _decode_kernel chunk_prologue); other kernels keep classic double
+    # buffering
+    NSLOTS = 3 if (use_flat_decode and not fused_page) else 2
+    if os.environ.get("MSLT_DECODE_NSLOTS"):  # A/B experiments only
+        NSLOTS = int(os.environ["MSLT_DECODE_NSLOTS"])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
@@ -974,18 +1061,18 @@ def pallas_ragged_paged_attention(
             if fused_page
             else [  # decode: split K/V planes (see _decode_kernel)
                 pltpu.VMEM(
-                    (2, CP, ps * (kvh2 // 2), hd)
+                    (NSLOTS, CP, ps * (kvh2 // 2), hd)
                     if plane_major_ps
-                    else (2, CP, ps, kvh2 // 2, hd),
+                    else (NSLOTS, CP, ps, kvh2 // 2, hd),
                     kv_pool.dtype,
                 ),
                 pltpu.VMEM(
-                    (2, CP, ps * (kvh2 // 2), hd)
+                    (NSLOTS, CP, ps * (kvh2 // 2), hd)
                     if plane_major_ps
-                    else (2, CP, ps, kvh2 // 2, hd),
+                    else (NSLOTS, CP, ps, kvh2 // 2, hd),
                     kv_pool.dtype,
                 ),
-                pltpu.SemaphoreType.DMA((2, CP, 2)),
+                pltpu.SemaphoreType.DMA((NSLOTS, CP, 2)),
                 pltpu.SMEM((1,), jnp.int32),
             ]
             if use_flat_decode
@@ -997,9 +1084,9 @@ def pallas_ragged_paged_attention(
         + (
             [  # int8 pool: per-page scale rows ride their own DMA queue
                 pltpu.VMEM(
-                    (2, CP) + tuple(kv_scale.shape[1:]), jnp.float32
+                    (NSLOTS, CP) + tuple(kv_scale.shape[1:]), jnp.float32
                 ),
-                pltpu.SemaphoreType.DMA((2, CP)),
+                pltpu.SemaphoreType.DMA((NSLOTS, CP)),
             ]
             if has_scale
             else []
@@ -1056,7 +1143,7 @@ def pallas_ragged_paged_attention(
             has_scale=has_scale,
         )
     elif use_flat_decode:
-        import os
+        pass  # os imported at module top
 
         kernel = functools.partial(
             _decode_kernel,
@@ -1068,7 +1155,7 @@ def pallas_ragged_paged_attention(
             fused_store=store_fused,
         )
     else:
-        import os
+        pass  # os imported at module top
 
         kernel = functools.partial(
             _attn_kernel,
@@ -1143,9 +1230,18 @@ def default_pages_per_chunk(page_size: int, phase: str) -> int:
     [BQ, Hq, hd] query block and 2x wider whole-page buffers). Prefill
     never drops below 2 pages per chunk: cp=1 leaves a single DMA in
     flight and the e2e bench lost ~8% at page_size 128 to the exposed
-    latency."""
+    latency.
+
+    Decode chunks are 512 tokens only where the DMA is page-GATED
+    (ps >= 64): ungated small-page chunks round every sequence's reads up
+    to Tc, so a 513-token row at Tc=512 fetches 1024 — measured round 4
+    as 23.1 ms/step vs 16.7 at 128-token chunks (ps=16 int8, bs=128,
+    kv=512; the small-page DMA stream is latency-bound anyway, so the
+    coarser chunking buys no bandwidth back)."""
     if phase == "decode":
-        return max(1, 512 // page_size)
+        if page_size >= 64:  # gated DMA: no rounding waste
+            return max(1, 512 // page_size)
+        return max(1, 128 // page_size)
     return max(2, 128 // page_size)
 
 
