@@ -58,9 +58,23 @@ def _attn_kernel(
     block_q: int,
     pages_per_chunk: int,
     has_scale: bool = False,
+    plane_major_ps: int = 0,
     diag: str = "",
 ):
-    if has_scale:
+    if plane_major_ps:
+        # plane-major pool [N, 2, ps*kvh, hd]: K and V planes DMA into
+        # SEPARATE whole-tile buffers [2, CP, ps*kvh, hd] (one contiguous
+        # copy each); the per-head compute below slices the (Tc, kvh, hd)
+        # view exactly like the head-blocked (Tc, 2kvh, hd) one
+        if has_scale:
+            (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
+             o_ref, k_buf, v_buf, sems, sc_buf, sc_sems) = refs
+        else:
+            (q_ref, pos_ref, qrid_ref, kv_hbm,
+             o_ref, k_buf, v_buf, sems) = refs
+            sc_hbm = sc_buf = sc_sems = None
+        kv_buf = None
+    elif has_scale:
         (q_ref, pos_ref, qrid_ref, kv_hbm, sc_hbm,
          o_ref, kv_buf, sems, sc_buf, sc_sems) = refs
     else:
@@ -80,8 +94,12 @@ def _attn_kernel(
     BQ = block_q
     CP = pages_per_chunk
     _, Hq, hd = q_ref.shape
-    ps = kv_buf.shape[2]
-    kvh = kv_buf.shape[3] // 2
+    if plane_major_ps:
+        ps = plane_major_ps
+        kvh = k_buf.shape[2] // ps
+    else:
+        ps = kv_buf.shape[2]
+        kvh = kv_buf.shape[3] // 2
     G = Hq // kvh
     R = BQ * G
     Tc = CP * ps
@@ -99,9 +117,19 @@ def _attn_kernel(
         def start_dma(slot, ci):
             for j in range(CP):
                 page = pt_ref[b, ci * CP + j]
-                pltpu.make_async_copy(
-                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
-                ).start()
+                if plane_major_ps:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page, 0], k_buf.at[slot, j],
+                        sems.at[slot, j, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page, 1], v_buf.at[slot, j],
+                        sems.at[slot, j, 1],
+                    ).start()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                    ).start()
                 if has_scale:
                     pltpu.make_async_copy(
                         sc_hbm.at[page], sc_buf.at[slot, j], sc_sems.at[slot, j]
@@ -109,9 +137,19 @@ def _attn_kernel(
 
         def wait_dma(slot):
             for j in range(CP):
-                pltpu.make_async_copy(
-                    kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
-                ).wait()
+                if plane_major_ps:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 0], k_buf.at[slot, j],
+                        sems.at[slot, j, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 1], v_buf.at[slot, j],
+                        sems.at[slot, j, 1],
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0], kv_buf.at[slot, j], sems.at[slot, j]
+                    ).wait()
                 if has_scale:
                     pltpu.make_async_copy(
                         sc_hbm.at[0], sc_buf.at[slot, j], sc_sems.at[slot, j]
@@ -154,7 +192,11 @@ def _attn_kernel(
 
             slot = ci % 2
             wait_dma(slot)
-            kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
+            if plane_major_ps:
+                kf = k_buf[slot].reshape(Tc, kvh, hd)
+                vf = v_buf[slot].reshape(Tc, kvh, hd)
+            else:
+                kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
             if has_scale:
                 # prefill sidecar [CP, ps, 128] -> [Tc, 128]: token rows in
                 # sublanes, head scales in lanes (ops/kv.py layout)
@@ -188,8 +230,12 @@ def _attn_kernel(
             new_ms, new_ls, new_accs = [], [], []
             for h in range(kvh):
                 # cast up from the pool dtype (bf16/fp8/int8 KV) for the MXU
-                k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
-                v = kv[:, kvh + h, :].astype(q_ref.dtype)
+                if plane_major_ps:
+                    k = kf[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
+                    v = vf[:, h, :].astype(q_ref.dtype)
+                else:
+                    k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
+                    v = kv[:, kvh + h, :].astype(q_ref.dtype)
                 if has_scale:
                     # head h's per-token scale as a [1, Tc] ROW via one
                     # one-hot dot each for K and V (a [:, h] lane slice is
@@ -375,9 +421,23 @@ def _decode_kernel(
             off = pos % ps
             chunk_cur = page_idx // CP
             j_cur = page_idx % CP
-            pltpu.make_async_copy(
-                kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
-            ).start()
+            if plane_major_ps:
+                # plane pool: the token's K and V are contiguous [kvh, hd]
+                # row blocks at off*kvh of each plane (row order t*kvh + h)
+                pltpu.make_async_copy(
+                    kvn_ref.at[0, pl.ds(0, kvh)],
+                    kvo_ref.at[page_cur, 0, pl.ds(off * kvh, kvh)],
+                    w_sems.at[0],
+                ).start()
+                pltpu.make_async_copy(
+                    kvn_ref.at[0, pl.ds(kvh, kvh)],
+                    kvo_ref.at[page_cur, 1, pl.ds(off * kvh, kvh)],
+                    w_sems.at[3],
+                ).start()
+            else:
+                pltpu.make_async_copy(
+                    kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
+                ).start()
             if has_scale:
                 pltpu.make_async_copy(
                     spn_ref.at[0, 0], spo_ref.at[page_cur, off], w_sems.at[1]
@@ -547,8 +607,18 @@ def _decode_kernel(
                 @pl.when(ci == chunk_cur)
                 def _():
                     # patch the new token into the freshly-landed chunk
-                    k_buf[slot, j_cur, off] = kvn_ref[0, 0:kvh]
-                    v_buf[slot, j_cur, off] = kvn_ref[0, kvh : 2 * kvh]
+                    if plane_major_ps:
+                        # plane buffers [.., ps*kvh, hd]: the token's rows
+                        # are the contiguous block at off*kvh
+                        k_buf[slot, j_cur, pl.ds(off * kvh, kvh)] = kvn_ref[
+                            0, 0:kvh
+                        ]
+                        v_buf[slot, j_cur, pl.ds(off * kvh, kvh)] = kvn_ref[
+                            0, kvh : 2 * kvh
+                        ]
+                    else:
+                        k_buf[slot, j_cur, off] = kvn_ref[0, 0:kvh]
+                        v_buf[slot, j_cur, off] = kvn_ref[0, kvh : 2 * kvh]
                     if use_scale:
                         SW = sc_buf.shape[3]
                         old = sc_buf[slot, j_cur]  # [2, SW]
@@ -690,9 +760,21 @@ def _decode_kernel(
         if fused_store:
             # drain the write-backs before the program ends (the patched
             # sc_buf slot is reused by the next program's chunk DMAs)
-            pltpu.make_async_copy(
-                kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
-            ).wait()
+            if plane_major_ps:
+                pltpu.make_async_copy(
+                    kvn_ref.at[0, pl.ds(0, kvh)],
+                    kvo_ref.at[page_cur, 0, pl.ds(off * kvh, kvh)],
+                    w_sems.at[0],
+                ).wait()
+                pltpu.make_async_copy(
+                    kvn_ref.at[0, pl.ds(kvh, kvh)],
+                    kvo_ref.at[page_cur, 1, pl.ds(off * kvh, kvh)],
+                    w_sems.at[3],
+                ).wait()
+            else:
+                pltpu.make_async_copy(
+                    kvn_ref.at[0], kvo_ref.at[page_cur, off], w_sems.at[0]
+                ).wait()
             if has_scale:
                 pltpu.make_async_copy(
                     spn_ref.at[0, 0], spo_ref.at[page_cur, off], w_sems.at[1]
@@ -919,13 +1001,14 @@ def pallas_ragged_paged_attention(
     elif plane_major_ps:
         # plane-major flattened pool [N, 2, ps*kvh, hd]: K/V planes are
         # contiguous page rows and the VMEM buffers' minor dims (ps*kvh, hd)
-        # are whole Mosaic tiles for every pool dtype (decode path only)
-        assert block_q == 1, "plane-major pool supports decode only"
+        # are whole Mosaic tiles for every pool dtype. Decode takes the
+        # flat kernel; prefill/extend (BQ > 1) take the general kernel
+        # with split per-plane buffers.
         N, _two, S, _ = kv_pool.shape
         assert _two == 2 and S % plane_major_ps == 0, kv_pool.shape
         ps = plane_major_ps
         kvh2 = 2 * (S // ps)
-        use_flat_decode = True
+        use_flat_decode = block_q == 1
     else:
         N, ps, kvh2, _ = kv_pool.shape
         # The flat decode kernel DMAs the K and V PLANES of each page
@@ -959,7 +1042,10 @@ def pallas_ragged_paged_attention(
         new_kv is not None
         and use_flat_decode
         and not fused_page
-        and not plane_major_ps
+        # plane pools: the fused store needs kvh-row-block writes at
+        # sublane offsets off*kvh — aligned only when kvh is a whole
+        # sublane tile
+        and (not plane_major_ps or (kv_pool.shape[2] // plane_major_ps) % 8 == 0)
     )
     if new_kv is not None and not store_fused:
         # geometry outside the flat decode path (prefill/extend, fused-page,
@@ -1076,10 +1162,18 @@ def pallas_ragged_paged_attention(
                 pltpu.SMEM((1,), jnp.int32),
             ]
             if use_flat_decode
-            else [
-                pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
-                pltpu.SemaphoreType.DMA((2, CP)),
-            ]
+            else (
+                [  # plane pool: split per-plane whole-tile buffers
+                    pltpu.VMEM((2, CP, ps * (kvh2 // 2), hd), kv_pool.dtype),
+                    pltpu.VMEM((2, CP, ps * (kvh2 // 2), hd), kv_pool.dtype),
+                    pltpu.SemaphoreType.DMA((2, CP, 2)),
+                ]
+                if plane_major_ps
+                else [
+                    pltpu.VMEM((2, CP, ps, kvh2, hd), kv_pool.dtype),
+                    pltpu.SemaphoreType.DMA((2, CP)),
+                ]
+            )
         )
         + (
             [  # int8 pool: per-page scale rows ride their own DMA queue
@@ -1091,7 +1185,12 @@ def pallas_ragged_paged_attention(
             if has_scale
             else []
         )
-        + ([pltpu.SemaphoreType.DMA((3,))] if store_fused else []),
+        + (
+            # plane pools write K and V back separately (sem 3 = V)
+            [pltpu.SemaphoreType.DMA((4 if plane_major_ps else 3,))]
+            if store_fused
+            else []
+        ),
     )
 
     # one trailing garbage block absorbs skipped programs' flushes
@@ -1163,6 +1262,7 @@ def pallas_ragged_paged_attention(
             block_q=BQ,
             pages_per_chunk=CP,
             has_scale=has_scale,
+            plane_major_ps=plane_major_ps,
             diag=os.environ.get("MSLT_PREFILL_DIAG", ""),
         )
     o_shape = jax.ShapeDtypeStruct((T + pad, Hq, hd), q.dtype)
@@ -1252,9 +1352,12 @@ def make_pallas_attention(*, page_size: int, scale: float, phase: str):
     cp = ENV.PAGES_PER_CHUNK or default_pages_per_chunk(page_size, phase)
 
     def impl(q, kv, meta: AttnMetadata, new_kv=None):
+        # plane-major pools (ops/kv.py is_plane) carry the page size
+        # implicitly; the engine's configured page_size closes over here
+        plane_ps = page_size if kv.data.shape[1] == 2 else 0
         return pallas_ragged_paged_attention(
             q, kv, meta, scale=scale, block_q=block_q, pages_per_chunk=cp,
-            new_kv=new_kv,
+            new_kv=new_kv, plane_major_ps=plane_ps,
         )
 
     return impl

@@ -33,6 +33,10 @@ def rpa_attention(
     # backend only (it VMEM-OOMs at bs>=128 decode and crashes on prefill
     # shapes, BENCHLOG.md), so clarity beats cost here.
     kv_pool, kv_scale = kv.data, kv.scale
+    assert kv_pool.shape[1] != 2, (
+        "rpa (vendor A/B backend) needs the head-blocked pool layout; "
+        "run with --kv-layout heads"
+    )
     if kv_scale is not None:
         # parity-only backend: dequantize the whole int8 pool up front from
         # the flat sidecar [N, 2, ps*kvh] (lane order off*kvh + h)

@@ -32,14 +32,21 @@ def xla_paged_attention(
 ) -> jax.Array:
     kv_pool, kv_scale = kv.data, kv.scale
     T, Hq, hd = q.shape
-    kvh = kv_pool.shape[2] // 2
     B, pages_cap = meta.page_table.shape
-    groups = Hq // kvh
     S_max = pages_cap * page_size
 
-    pages = kv_pool[meta.page_table]  # [B, PB, ps, 2kvh, hd]
-    k = pages[:, :, :, :kvh, :].reshape(B, S_max, kvh, hd)
-    v = pages[:, :, :, kvh:, :].reshape(B, S_max, kvh, hd)
+    if kv_pool.shape[1] == 2:  # plane-major [N, 2, ps*kvh, hd] (ops/kv.py)
+        kvh = kv_pool.shape[2] // page_size
+        pages = kv_pool[meta.page_table]  # [B, PB, 2, ps*kvh, hd]
+        pages = pages.reshape(B, pages_cap, 2, page_size, kvh, hd)
+        k = pages[:, :, 0].reshape(B, S_max, kvh, hd)
+        v = pages[:, :, 1].reshape(B, S_max, kvh, hd)
+    else:
+        kvh = kv_pool.shape[2] // 2
+        pages = kv_pool[meta.page_table]  # [B, PB, ps, 2kvh, hd]
+        k = pages[:, :, :, :kvh, :].reshape(B, S_max, kvh, hd)
+        v = pages[:, :, :, kvh:, :].reshape(B, S_max, kvh, hd)
+    groups = Hq // kvh
     if kv_scale is not None:
         # int8 pool: dequantize with the flat decode sidecar [N, 2, ps*kvh]
         # (lane order off*kvh + h, ops/kv.py)

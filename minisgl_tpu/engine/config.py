@@ -55,6 +55,13 @@ class EngineConfig:
     # "int8" (per-(token, head) scales fused into the kernels' score path —
     # the v5e-native low-precision KV mode)
     kv_dtype: str = "auto"
+    # KV pool memory layout (ops/kv.py): "plane" = plane-major
+    # [L*P, 2, ps*kvh, hd] (each page's K/V plane is one contiguous DMA —
+    # 1.7x decode streaming on v5e, BENCHLOG round 4); "heads" =
+    # head-blocked [L*P, ps, 2*kvh, hd] (legacy; required by the rpa
+    # vendor backend). "auto" = plane on the pallas backend, heads
+    # elsewhere.
+    kv_layout: str = "auto"
     # prefill token-count buckets are powers of two up to max_extend_tokens
     min_prefill_bucket: int = 128
     # decode iterations fused per dispatch when no prefill is pending

@@ -122,11 +122,31 @@ class Engine:
         self.num_pages = self._agree_num_pages_across_hosts(
             self._determine_num_pages()
         )
-        self.max_seq_len = min(
-            config.max_seq_len, self.num_pages * config.page_size
-        )
-        self.pages_cap = div_ceil(self.max_seq_len, config.page_size)
-        self.state = self._init_device_state()
+        # The probe measures the largest SINGLE allocation that succeeds,
+        # but the remote (tunneled) runtime can still refuse the real pool
+        # at that size (allocator fragmentation / deferred frees we cannot
+        # see). Back off 15% per refusal rather than dying — sizing by
+        # retry is strictly more honest than any margin constant.
+        probed = config.num_page_override is None
+        while True:
+            self.max_seq_len = min(
+                config.max_seq_len, self.num_pages * config.page_size
+            )
+            self.pages_cap = div_ceil(self.max_seq_len, config.page_size)
+            try:
+                self.state = self._init_device_state()
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if not probed or "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                new_pages = int(self.num_pages * 0.85)
+                if new_pages < 16:
+                    raise
+                logger.warning(
+                    f"KV pool allocation of {self.num_pages} pages refused "
+                    f"by the device; retrying with {new_pages}"
+                )
+                self.num_pages = self._agree_num_pages_across_hosts(new_pages)
         logger.info(
             f"engine up: {self.num_pages} pages x {config.page_size} tokens, "
             f"max_seq_len {self.max_seq_len}, tp={config.tp_size}"
@@ -353,11 +373,33 @@ class Engine:
         from minisgl_tpu.engine.step import KV_SCALE_P_SPEC, KV_SCALE_SPEC
         from minisgl_tpu.ops.kv import KV, SCALE_P_LANES
 
+        # plane DMA store slices address [kvh, hd] row blocks at off*kvh —
+        # Mosaic tiling needs kvh_local to be a whole sublane tile
+        plane_ok = self.model.dims.kv_heads_local % 8 == 0
+        if cfg.kv_layout == "plane" and not plane_ok:
+            raise ValueError(
+                f"--kv-layout plane needs kv_heads_local % 8 == 0 (Mosaic "
+                f"sublane tiling for the per-token store slices); got "
+                f"{self.model.dims.kv_heads_local}. Use --kv-layout heads."
+            )
+        plane = cfg.kv_layout == "plane" or (
+            cfg.kv_layout == "auto"
+            and plane_ok
+            and resolve_backend_name(cfg.attention_backend) == "pallas"
+        )
+        # plane-major [L*P, 2, ps*kvh, hd] vs head-blocked
+        # [L*P, ps, 2*kvh, hd] (ops/kv.py module doc; sharding axis 2 holds
+        # the head-carrying dim in both). Head-blocked pools must keep
+        # axis 1 != 2 for the shape-based layout detection (is_plane).
+        assert plane or cfg.page_size != 2, "page_size 2 is reserved"
+        pool_shape = (
+            (L * P_layer, 2, cfg.page_size * kvh, hd)
+            if plane
+            else (L * P_layer, cfg.page_size, 2 * kvh, hd)
+        )
         # allocate directly on-device in shards (no host-side global buffer)
         make_pool = jax.jit(
-            lambda: jnp.zeros(
-                (L * P_layer, cfg.page_size, 2 * kvh, hd), self.kv_dtype
-            ),
+            lambda: jnp.zeros(pool_shape, self.kv_dtype),
             out_shardings=kv_sharding,
         )
         if self.kv_scaled:

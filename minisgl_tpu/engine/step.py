@@ -184,7 +184,10 @@ def build_step_fn(
                 )
             return new_state, tokens
 
-        ps = state.kv.data.shape[1]
+        from minisgl_tpu.ops.kv import pool_page_size
+
+        # shard-local pool: plane pools carry ps*kvh_local on axis 2
+        ps = pool_page_size(state.kv.data, model.dims.kv_heads_local)
         K, B = decode_steps, meta.attn.seq_lens.shape[0]
 
         def body(i, carry):

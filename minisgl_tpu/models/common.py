@@ -451,7 +451,9 @@ def decoder_forward(
             meta_l = meta._replace(
                 page_table=meta.page_table + layer_id * pages_per_layer
             )
-            page_size = kv_pool.data.shape[1]
+            from minisgl_tpu.ops.kv import pool_page_size
+
+            page_size = pool_page_size(kv_pool.data, nkl)
             abs_slots = (
                 layer_id * (pages_per_layer * page_size) + meta.out_slots
             )

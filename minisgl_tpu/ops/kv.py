@@ -60,11 +60,40 @@ class KV(NamedTuple):
     """The paged KV pool as one pytree: data + (for int8 pools) the
     per-(token, head) scale sidecars. ``scale``/``scale_p`` are None for
     bf16/f32/fp8 pools, so the pytree structure itself encodes the storage
-    mode and every jitted step specializes on it."""
+    mode and every jitted step specializes on it.
 
-    data: jax.Array  # [L*P, page_size, 2*kvh, hd]
+    ``data`` comes in one of two layouts (``plane_kvh`` tells them apart):
+
+    - head-blocked ``[L*P, page_size, 2*kvh, hd]`` (legacy): one page row
+      is one contiguous DMA of every head's K AND V, but the decode
+      kernel's per-PLANE reads are strided 2*hd-byte runs;
+    - plane-major ``[L*P, 2, page_size*kvh, hd]`` (serving default,
+      round 4): plane row ``t*kvh + h`` — each page's K (or V) plane is
+      ONE contiguous DMA, measured 1.7x faster decode streaming on v5e
+      (benchmark/kernels/bench_decode_layout.py: 139.5 vs 235.9 us/call,
+      int8 ps=128), and a token's per-plane row block ``[kvh, hd]`` stays
+      contiguous for the store paths. The flat decode scale sidecar's
+      lane order (off*kvh + h) equals the plane row order by design."""
+
+    data: jax.Array  # [L*P, page_size, 2*kvh, hd] | [L*P, 2, ps*kvh, hd]
     scale: Optional[jax.Array] = None  # [L*P, 2, page_size*kvh] f32
     scale_p: Optional[jax.Array] = None  # [L*P, page_size, 128] f32
+
+
+def is_plane(kv_data: jax.Array) -> bool:
+    """True if ``kv_data`` is the plane-major layout.
+
+    Distinguisher: a head-blocked pool's axis 1 is page_size (>= 4 by
+    engine contract — asserted at pool alloc), a plane pool's is exactly
+    2. Shape-only, so it works on ShapeDtypeStructs too."""
+    return kv_data.shape[1] == 2
+
+
+def pool_page_size(kv_data: jax.Array, kvh: int) -> int:
+    """Tokens per page for either layout (kvh = local kv heads)."""
+    if kv_data.shape[1] == 2:
+        return kv_data.shape[2] // kvh
+    return kv_data.shape[1]
 
 
 def pack_kv(k_new: jax.Array, v_new: jax.Array) -> jax.Array:
@@ -123,7 +152,9 @@ def store_kv(
 ) -> KV:
     """Scatter new KV rows (and, for int8 pools, their scales) in place."""
     kv_pool = kv.data
-    page_size = kv_pool.shape[1]
+    kvh = k_new.shape[1]
+    plane = is_plane(kv_pool)
+    page_size = pool_page_size(kv_pool, kvh)
     rows = layer_id * pages_per_layer + out_slots // page_size
     offs = out_slots % page_size
     kv_new = pack_kv(k_new, v_new)
@@ -133,15 +164,33 @@ def store_kv(
     else:
         kv_new = kv_new.astype(kv_pool.dtype)
     T = kv_new.shape[0]
+
+    def xla_scatter(pool):
+        if not plane:
+            return pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
+        # plane pool [N, 2, ps*kvh, hd], row order t*kvh + h: viewed as
+        # [N*2*ps, kvh, hd] a token's K block is group rows*2*ps + offs and
+        # its V block is that + ps — two contiguous [kvh, hd] row blocks
+        N, _, S, hd = pool.shape
+        flat = pool.reshape(N * 2 * page_size, kvh, hd)
+        kr = rows * (2 * page_size) + offs
+        flat = flat.at[kr].set(kv_new[:, :kvh], mode="promise_in_bounds")
+        flat = flat.at[kr + page_size].set(
+            kv_new[:, kvh:], mode="promise_in_bounds"
+        )
+        return flat.reshape(pool.shape)
+
+    # the Pallas plane store DMAs [kvh, hd] blocks at sublane offset
+    # off*kvh — only tileable when kvh is a whole sublane tile; smaller
+    # kvh (high TP) takes the XLA scatter
+    force_xla = plane and kvh % 8 != 0
     if kv.scale is not None:
-        if jax.default_backend() == "cpu" or T > 256:
+        if force_xla or jax.default_backend() == "cpu" or T > 256:
             # XLA scatter: CPU/tests, and large prefill writes (one DMA per
             # token would serialize ~8k transfers)
-            new_pool = kv_pool.at[rows, offs].set(
-                kv_new, mode="promise_in_bounds"
-            )
             return scatter_kv_scales(
-                KV(new_pool, kv.scale, kv.scale_p), rows, offs, scale
+                KV(xla_scatter(kv_pool), kv.scale, kv.scale_p),
+                rows, offs, scale,
             )
         # decode-sized writes: Pallas DMA for the data rows + the 128-lane
         # scale_p rows (the XLA scatter on the multi-GB pool measured ~3 ms
@@ -150,7 +199,6 @@ def store_kv(
         # the XLA scatter, on its small operand
         from minisgl_tpu.ops.store_pallas import pallas_store_kv_scaled
 
-        kvh = scale.shape[1] // 2
         row_vals = jnp.zeros((T, SCALE_P_LANES), jnp.float32)
         row_vals = jax.lax.dynamic_update_slice(row_vals, scale, (0, 0))
         new_pool, new_scale_p = pallas_store_kv_scaled(
@@ -167,14 +215,12 @@ def store_kv(
             planes.transpose(0, 2, 1), mode="promise_in_bounds"
         )
         return KV(new_pool, new_scale, new_scale_p)
-    if jax.default_backend() == "cpu" or T > 256:
+    if force_xla or jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
         # (the Pallas store is one serial DMA per token). On TPU decode the
         # scatter's cost scales with the pool, not the written rows
         # (BENCHLOG.md decomposition), so small-T steps take the Pallas path.
-        return KV(
-            kv_pool.at[rows, offs].set(kv_new, mode="promise_in_bounds")
-        )
+        return KV(xla_scatter(kv_pool))
     from minisgl_tpu.ops.store_pallas import pallas_store_kv
 
     return KV(pallas_store_kv(kv_pool, rows, offs, kv_new))

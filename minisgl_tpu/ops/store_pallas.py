@@ -37,6 +37,54 @@ def _store_kernel(
     copy.wait()
 
 
+def _plane_copies(kv_new_ref, pool_out_ref, row, off, sem_k, sem_v):
+    """Two DMAs into a plane-major pool [N, 2, ps*kvh, hd]: the token's
+    K block lands at plane-0 rows [off*kvh, (off+1)*kvh) and its V block
+    at the same rows of plane 1 (row order t*kvh + h)."""
+    kvh = kv_new_ref.shape[1] // 2
+    k = pltpu.make_async_copy(
+        kv_new_ref.at[0, pl.ds(0, kvh)],
+        pool_out_ref.at[row, 0, pl.ds(off * kvh, kvh)],
+        sem_k,
+    )
+    v = pltpu.make_async_copy(
+        kv_new_ref.at[0, pl.ds(kvh, kvh)],
+        pool_out_ref.at[row, 1, pl.ds(off * kvh, kvh)],
+        sem_v,
+    )
+    k.start()
+    v.start()
+    return k, v
+
+
+def _store_kernel_plane(
+    rows_ref, offs_ref, kv_new_ref, pool_in_ref, pool_out_ref, sem_k, sem_v
+):
+    i = pl.program_id(0)
+    k, v = _plane_copies(
+        kv_new_ref, pool_out_ref, rows_ref[i], offs_ref[i], sem_k, sem_v
+    )
+    k.wait()
+    v.wait()
+
+
+def _store_scaled_kernel_plane(
+    rows_ref, offs_ref, kv_new_ref, sp_new_ref,
+    pool_in_ref, sp_in_ref, pool_out_ref, sp_out_ref,
+    sem_k, sem_v, sem_sp,
+):
+    i = pl.program_id(0)
+    row, off = rows_ref[i], offs_ref[i]
+    k, v = _plane_copies(kv_new_ref, pool_out_ref, row, off, sem_k, sem_v)
+    sp = pltpu.make_async_copy(
+        sp_new_ref.at[0, 0], sp_out_ref.at[row, off], sem_sp
+    )
+    sp.start()
+    k.wait()
+    v.wait()
+    sp.wait()
+
+
 def _store_scaled_kernel(
     rows_ref,  # [T] i32 scalar prefetch: pool row (page) per token
     offs_ref,  # [T] i32 scalar prefetch: in-page offset per token
@@ -81,6 +129,7 @@ def pallas_store_kv_scaled(
     DMA cannot express — the caller scatters it with XLA on that (small)
     operand instead."""
     T, kvh2, hd = kv_new.shape
+    plane = kv_pool.shape[1] == 2  # plane-major pool (ops/kv.py is_plane)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -96,10 +145,10 @@ def pallas_store_kv_scaled(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * (3 if plane else 2),
     )
     return pl.pallas_call(
-        _store_scaled_kernel,
+        _store_scaled_kernel_plane if plane else _store_scaled_kernel,
         out_shape=[
             jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
             jax.ShapeDtypeStruct(scale_p.shape, scale_p.dtype),
@@ -121,6 +170,7 @@ def pallas_store_kv(
     interpret: bool = False,
 ):
     T, kvh2, hd = kv_new.shape
+    plane = kv_pool.shape[1] == 2  # plane-major pool (ops/kv.py is_plane)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -129,10 +179,10 @@ def pallas_store_kv(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * (2 if plane else 1),
     )
     return pl.pallas_call(
-        _store_kernel,
+        _store_kernel_plane if plane else _store_kernel,
         out_shape=jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
         grid_spec=grid_spec,
         # operand order: rows, offs (prefetch), kv_new, pool — pool is

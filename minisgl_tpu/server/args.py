@@ -71,6 +71,12 @@ def parse_args(argv: Optional[List[str]] = None) -> ServerArgs:
     p.add_argument("--kv-dtype", dest="kv_dtype",
                    choices=["auto", "bf16", "fp8", "int8"], default="auto")
     p.add_argument(
+        "--kv-layout", dest="kv_layout",
+        choices=["auto", "plane", "heads"], default="auto",
+        help="KV pool layout: plane-major (contiguous per-plane page DMA, "
+        "pallas default) or head-blocked (legacy; required by rpa)",
+    )
+    p.add_argument(
         "--spec-algo", choices=["none", "lookup"], default="none",
         help="speculative decoding: lookup = prompt-lookup (n-gram "
         "self-drafting verified in one extend forward; greedy reqs only)",

@@ -20,6 +20,37 @@ from minisgl_tpu.ops.kv import KV
 from minisgl_tpu.parallel.mesh import create_mesh
 from minisgl_tpu.utils import cached_load_hf_config, div_ceil
 
+def to_plane_major(kv: KV) -> KV:
+    """Head-blocked pool [N, ps, 2kvh, hd] -> plane-major [N, 2, ps*kvh, hd]
+    (plane row t*kvh + h; scale sidecars are layout-independent)."""
+    d = np.asarray(kv.data)
+    N, ps, kvh2, hd = d.shape
+    kvh = kvh2 // 2
+    flat = np.stack(
+        [
+            d[:, :, :kvh, :].reshape(N, ps * kvh, hd),
+            d[:, :, kvh:, :].reshape(N, ps * kvh, hd),
+        ],
+        axis=1,
+    )
+    return KV(jnp.asarray(flat), kv.scale, kv.scale_p)
+
+
+def from_plane_major(kv: KV, page_size: int) -> KV:
+    """Inverse of to_plane_major (for comparing updated pools)."""
+    d = np.asarray(kv.data)
+    N, _two, S, hd = d.shape
+    kvh = S // page_size
+    heads = np.concatenate(
+        [
+            d[:, 0].reshape(N, page_size, kvh, hd),
+            d[:, 1].reshape(N, page_size, kvh, hd),
+        ],
+        axis=2,
+    )
+    return KV(jnp.asarray(heads), kv.scale, kv.scale_p)
+
+
 TINY_LLAMA_KW = dict(
     vocab_size=256,
     hidden_size=64,

@@ -137,3 +137,67 @@ def test_fused_store_fallback_prefill():
     np.testing.assert_array_equal(
         np.asarray(kv_out.data), np.asarray(kv_ref.data)
     )
+
+
+def _plane_case(int8: bool, kv_lens):
+    from tests.helpers import from_plane_major, to_plane_major
+
+    rng = np.random.default_rng(9)
+    q, kv_pool, meta, k_new, v_new, slots = _mk_decode_case(rng, kv_lens, int8)
+    scale = HD**-0.5
+
+    # reference on the HEAD-BLOCKED layout: store then unfused attend
+    kv_ref = store_kv(kv_pool, 0, 1, slots, k_new, v_new)
+    o_ref = pallas_ragged_paged_attention(
+        q, kv_ref, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    return (
+        q, to_plane_major(kv_pool), meta, k_new, v_new, slots,
+        o_ref, kv_ref, scale,
+        lambda kvp: from_plane_major(kvp, PS),
+    )
+
+
+def _check_plane(int8: bool, kv_lens):
+    (q, kv_plane, meta, k_new, v_new, slots,
+     o_ref, kv_ref, scale, unplane) = _plane_case(int8, kv_lens)
+
+    # 1) plane store_kv path: logical pool contents must match
+    kv_stored = store_kv(kv_plane, 0, 1, slots, k_new, v_new)
+    back = unplane(kv_stored)
+    np.testing.assert_array_equal(
+        np.asarray(back.data), np.asarray(kv_ref.data)
+    )
+    if int8:
+        np.testing.assert_allclose(
+            np.asarray(kv_stored.scale), np.asarray(kv_ref.scale), rtol=1e-6
+        )
+
+    # 2) fused-store plane decode: output and updated pool match
+    o, kv_out = pallas_ragged_paged_attention(
+        q, kv_plane, meta, scale=scale, block_q=1, pages_per_chunk=2,
+        interpret=_interpret(), new_kv=(k_new, v_new, slots),
+        plane_major_ps=PS,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_ref, np.float32), **TOL
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unplane(kv_out).data), np.asarray(kv_ref.data)
+    )
+    if int8:
+        np.testing.assert_allclose(
+            np.asarray(kv_out.scale), np.asarray(kv_ref.scale), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_out.scale_p), np.asarray(kv_ref.scale_p), rtol=1e-6
+        )
+
+
+def test_plane_store_and_fused_bf16():
+    _check_plane(False, [3, 29, 64, 17])
+
+
+def test_plane_store_and_fused_int8():
+    _check_plane(True, [3, 29, 64, 17])

@@ -317,3 +317,44 @@ def test_int8_kv_prefill_parity():
     np.testing.assert_allclose(
         np.asarray(got)[real], np.asarray(want)[real], **TOL
     )
+
+
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8"])
+def test_plane_major_prefill_parity(int8):
+    """Plane-major pool through the GENERAL kernel (BQ > 1: full prefill +
+    extend-after-prefix-hit): split per-plane DMA buffers, same per-head
+    math — must match the head-blocked layout token-exactly."""
+    from tests.helpers import to_plane_major
+
+    rng = np.random.default_rng(41)
+    ps = PS if _interpret() else 16
+    seqs = [(10, 40), (3, 17), (16, 16)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=16, kvh=8, BQ=8, int8=int8, ps=ps)
+    scale = HD**-0.5
+    base = pallas_ragged_paged_attention(
+        q, kv, meta, scale=scale, block_q=8, pages_per_chunk=2,
+        interpret=_interpret(),
+    )
+    got = pallas_ragged_paged_attention(
+        q, to_plane_major(kv), meta, scale=scale, block_q=8,
+        pages_per_chunk=2, interpret=_interpret(), plane_major_ps=ps,
+    )
+    real = np.asarray(meta.q_req_ids) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[real], np.asarray(base)[real], **TOL
+    )
+
+
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8"])
+def test_plane_major_xla_backend_parity(int8):
+    """The XLA reference backend must read plane-major pools identically."""
+    from tests.helpers import to_plane_major
+
+    rng = np.random.default_rng(43)
+    ps = PS if _interpret() else 16
+    seqs = [(1, 13), (4, 20), (8, 8)]
+    q, kv, meta = _mk_case(rng, seqs, Hq=16, kvh=8, BQ=4, int8=int8, ps=ps)
+    scale = HD**-0.5
+    base = xla_paged_attention(q, kv, meta, ps, scale)
+    got = xla_paged_attention(q, to_plane_major(kv), meta, ps, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), **TOL)
