@@ -294,44 +294,59 @@ class Engine:
     def _probe_free_bytes(self):
         """Largest single device allocation that succeeds, by binary search
         (granularity 256 MB) — run AFTER params are resident, so the result
-        IS the KV budget. Allocation happens inside jit (no host transfer);
-        a one-element fetch verifies it truly materialized (through remote
-        runtimes, errors only surface at a sync point). The reference's
-        equivalent probes torch allocations and all-reduces the result
-        (engine.py:148-189); here every host probes its own chips and
-        _agree_num_pages_across_hosts reconciles."""
+        IS the KV budget. The search runs in a SUBPROCESS sharing the same
+        physical chip: failed trial allocations through the remote runtime
+        wedge that process's allocator (measured round 4: after an
+        11.81 GB probe succeeded in-process, even a 4.3 GB pool alloc was
+        refused), and a process exit is the only reliable way to free the
+        trials. The reference's equivalent probes torch allocations and
+        all-reduces the result (engine.py:148-189); here every host probes
+        its own chips and _agree_num_pages_across_hosts reconciles."""
+        import subprocess
+        import sys
+
         from minisgl_tpu.env import ENV
 
         step = 256 << 20
-        lo, hi = 0, int(ENV.HBM_GB * 1.5e9) // step  # units of `step`
-        dev = self.mesh_info.mesh.devices.flat[0]
-
-        def try_alloc(units: int) -> bool:
-            try:
-                with jax.default_device(dev):
-                    a = jax.jit(
-                        lambda: jnp.zeros((units * step,), jnp.uint8)
-                    )()
-                    np.asarray(a[:1])  # force materialization
-                del a
-                return True
-            except Exception:
-                return False
-
+        hi_units = int(ENV.HBM_GB * 1.5e9) // step
+        script = (
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            f"step = {step}\n"
+            f"lo, hi = 0, {hi_units}\n"
+            "def try_alloc(units):\n"
+            "    try:\n"
+            "        a = jax.jit(lambda: jnp.zeros((units * step,), jnp.uint8))()\n"
+            "        np.asarray(a[:1])\n"
+            "        del a\n"
+            "        return True\n"
+            "    except Exception:\n"
+            "        return False\n"
+            "while lo + 1 < hi:\n"
+            "    mid = (lo + hi) // 2\n"
+            "    lo, hi = (mid, hi) if try_alloc(mid) else (lo, mid)\n"
+            "print('PROBE_BYTES', lo * step)\n"
+        )
         t0 = time.perf_counter()
-        while lo + 1 < hi:
-            mid = (lo + hi) // 2
-            if try_alloc(mid):
-                lo = mid
-            else:
-                hi = mid
-        if lo == 0:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=300,
+            ).stdout
+            bytes_free = next(
+                int(line.split()[1])
+                for line in out.splitlines()
+                if line.startswith("PROBE_BYTES")
+            )
+        except Exception as e:
+            logger.warning(f"KV memory probe subprocess failed: {e!r}")
+            return None
+        if bytes_free == 0:
             return None
         logger.info(
-            f"KV memory probe: {lo * step / 1e9:.2f} GB allocatable "
-            f"({time.perf_counter() - t0:.1f}s)"
+            f"KV memory probe: {bytes_free / 1e9:.2f} GB allocatable "
+            f"({time.perf_counter() - t0:.1f}s, subprocess)"
         )
-        return lo * step
+        return bytes_free
 
     def _agree_num_pages_across_hosts(self, num_pages: int) -> int:
         """Multi-host: every host must build the same page table. All-gather
