@@ -4,20 +4,21 @@ TPU-native equivalent of the reference's MHA pool + store.cu scatter kernel
 (/root/reference/python/minisgl/kvcache/mha_pool.py:28-56,
 kernel/csrc/jit/store.cu:28-53). Layout decisions:
 
-- ONE combined pool of GLOBAL shape ``[L * P, page_size, 2 * kv_heads_eff,
-  head_dim]`` where ``P`` is the per-layer page count (page 0 of each layer
-  is the reserved dummy page) and K/V occupy BLOCKS on the heads axis (K at
-  ``[:kvh]``, V at ``[kvh:]``). Rationale:
-  * a page row ``[page_size, 2*kvh, hd]`` is one contiguous DMA fetching
-    every head's K AND V for that page — the granularity TPU paged-attention
-    kernels want;
-  * the block (not interleaved) head order lets the decode kernel DMA the K
-    and V planes of a page into SEPARATE VMEM buffers (strided source,
-    contiguous 2KB runs), halving its flattened softmax width — the
-    deciding factor in the decode-ablation A/B (BENCHLOG.md round 2);
-  * folding the layer into the page index means the per-layer "slice" is
-    just an integer offset ``layer_id * P`` added to the page table, so the
-    lax.scan over layers never slices (= never copies) the pool.
+- ONE combined pool for all layers, in one of two layouts (see the KV
+  class docstring; ``is_plane`` tells them apart by shape):
+  * plane-major ``[L * P, 2, page_size * kvh, hd]`` (serving default,
+    round 4): each page's K (or V) plane is ONE contiguous DMA and a
+    token's per-plane ``[kvh, hd]`` row block stays contiguous for the
+    store paths;
+  * head-blocked ``[L * P, page_size, 2 * kv_heads_eff, head_dim]``
+    (legacy; rpa vendor backend): K/V occupy BLOCKS on the heads axis
+    (K at ``[:kvh]``, V at ``[kvh:]``) so a page row is one contiguous
+    DMA of every head's K AND V, but per-PLANE reads are strided.
+  ``P`` is the per-layer page count (page 0 of each layer is the reserved
+  dummy page); folding the layer into the page index means the per-layer
+  "slice" is just an integer offset ``layer_id * P`` added to the page
+  table, so the lax.scan over layers never slices (= never copies) the
+  pool.
 - Sharded P(None, None, "model", None): heads over the TP axis, each chip
   owning the full page space for its local heads (the same invariant as the
   reference's per-rank pool, mha_pool.py:27).
