@@ -268,7 +268,39 @@ class Engine:
 
             avail = self._probe_free_bytes() if ENV.KV_PROBE else None
             if avail is not None:
-                avail *= cfg.memory_ratio  # headroom for activations
+                param_bytes = sum(
+                    p.nbytes for p in self.params.values()
+                ) / max(1, self.mesh_info.tp_size)
+                if avail + param_bytes > ENV.HBM_GB * 1.05e9:
+                    # The probe subprocess saw MORE free HBM than the chip
+                    # could have with our params resident: the tunneled
+                    # runtime virtualizes memory per process (allocations
+                    # succeed lazily; only XLA's compile-time accounting
+                    # enforces the physical limit), so the probe is
+                    # params-BLIND. Size against PHYSICAL capacity minus
+                    # weights minus a fixed compile-temp reserve — a
+                    # multiplicative ratio would starve big-param models
+                    # (Qwen3-14B int8 = 14.8 of 15.75 GB; round 2 proved
+                    # it serves with ~0.9 GB of KV). Measured round 4: the
+                    # probe reported 11.81 GB beside 14.8 GB of resident
+                    # 14B weights and the pool it sized OOMed at compile
+                    # (23.7 of 15.75 GB).
+                    avail = ENV.HBM_GB * 1e9 - param_bytes - 0.75e9
+                    logger.info(
+                        f"KV probe is params-blind on this runtime; "
+                        f"sizing from {ENV.HBM_GB:.1f} GB physical - "
+                        f"{param_bytes / 1e9:.2f} GB weights - 0.75 GB "
+                        f"reserve -> {max(avail, 0) / 1e9:.2f} GB for KV"
+                    )
+                    if avail <= 0:
+                        raise RuntimeError(
+                            f"no HBM left for KV after "
+                            f"{param_bytes / 1e9:.2f} GB of weights on a "
+                            f"{ENV.HBM_GB:.1f} GB device; reduce model "
+                            f"size or quantize, or raise MSLT_HBM_GB"
+                        )
+                else:
+                    avail *= cfg.memory_ratio  # headroom for activations
             else:
                 hbm = ENV.HBM_GB * 1e9
                 param_bytes = sum(
