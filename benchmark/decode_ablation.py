@@ -116,9 +116,15 @@ def time_variant(engine, name: str, k: int) -> float:
 
         cp = int(name[2:])
         scale = engine.model_config.head_dim**-0.5
+        # plane-major pools carry the page size implicitly (ops/kv.py)
+        pmps = (
+            engine.config.page_size
+            if engine.state.kv.data.shape[1] == 2
+            else 0
+        )
         attn = lambda q, pool, meta, new_kv=None: pallas_ragged_paged_attention(
             q, pool, meta, scale=scale, block_q=1, pages_per_chunk=cp,
-            new_kv=new_kv,
+            new_kv=new_kv, plane_major_ps=pmps,
         )
     elif name == "nolmhead":
         import jax.numpy as jnp

@@ -102,6 +102,9 @@ def time_variant(engine, name: str) -> float:
         kw = dict(scale=scale, block_q=bq)
         if cp:
             kw["pages_per_chunk"] = cp
+        # plane-major pools carry the page size implicitly (ops/kv.py)
+        if engine.state.kv.data.shape[1] == 2:
+            kw["plane_major_ps"] = engine.config.page_size
         attn = lambda q, pool, meta, new_kv=None: pallas_ragged_paged_attention(
             q, pool, meta, new_kv=new_kv, **kw
         )

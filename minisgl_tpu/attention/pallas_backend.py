@@ -199,9 +199,25 @@ def _attn_kernel(
                 kv = kv_buf[slot].reshape(Tc, 2 * kvh, hd)
             if has_scale:
                 # prefill sidecar [CP, ps, 128] -> [Tc, 128]: token rows in
-                # sublanes, head scales in lanes (ops/kv.py layout)
+                # sublanes, head scales in lanes (ops/kv.py layout). ONE
+                # identity-selector dot extracts every head's K and V scale
+                # row at once ([2kvh, Tc]; row h = K of head h, kvh + h =
+                # V) — the former per-head one-hot dots issued 2*kvh tiny
+                # MXU ops per chunk (a [:, h] lane slice is still not
+                # Mosaic-lowerable; static ROW slices of the result are).
                 sc_all = sc_buf[slot].reshape(Tc, 128)
-                lane_col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (2 * kvh, 128), 1)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (2 * kvh, 128), 0
+                    )
+                ).astype(jnp.float32)
+                sc_rows = jax.lax.dot_general(
+                    sel, sc_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # selection must reproduce the f32 scale bit-exactly
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [2kvh, Tc]
 
             kv_idx = ci * Tc + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, Tc), dimension=1
@@ -237,22 +253,13 @@ def _attn_kernel(
                     k = kv[:, h, :].astype(q_ref.dtype)  # [Tc, hd]
                     v = kv[:, kvh + h, :].astype(q_ref.dtype)
                 if has_scale:
-                    # head h's per-token scale as a [1, Tc] ROW via one
-                    # one-hot dot each for K and V (a [:, h] lane slice is
-                    # not Mosaic-lowerable); dequant lands on the [*, Tc]
-                    # scores/probabilities — hd x less work than scaling
-                    # the chunk data, and row-shaped so it broadcasts along
-                    # lanes with no transpose
-                    sk_row = jax.lax.dot_general(
-                        (lane_col == h).astype(jnp.float32), sc_all,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [1, Tc]
-                    sv_row = jax.lax.dot_general(
-                        (lane_col == kvh + h).astype(jnp.float32), sc_all,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    # head h's per-token scales as [1, Tc] ROWS (static row
+                    # slices of the chunk-wide selector dot above); dequant
+                    # lands on the [*, Tc] scores/probabilities — hd x less
+                    # work than scaling the chunk data, and row-shaped so
+                    # it broadcasts along lanes with no transpose
+                    sk_row = sc_rows[h : h + 1]  # [1, Tc]
+                    sv_row = sc_rows[kvh + h : kvh + h + 1]
                 if BQ == 1:
                     s = scale * jax.lax.dot_general(
                         q_heads[h], k, (((1,), (1,)), ((), ())),
@@ -1193,15 +1200,31 @@ def pallas_ragged_paged_attention(
         ),
     )
 
-    # one trailing garbage block absorbs skipped programs' flushes
-    pad = BQ
-    q_in = jnp.concatenate([q, jnp.zeros((pad, Hq, hd), q.dtype)], axis=0)
-    pos_in = jnp.concatenate(
-        [meta.positions, jnp.zeros((pad,), meta.positions.dtype)]
-    ).reshape(n_blocks + 1, BQ, 1)
-    qrid_in = jnp.concatenate(
-        [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
-    ).reshape(n_blocks + 1, BQ, 1)
+    # One trailing garbage block absorbs skipped programs' flushes — but
+    # ONLY the flat decode grid routes any program there (its _block_idx
+    # maps non-runnable programs to block n_blocks). The general
+    # (prefill/extend) grid indexes blocks by program id and never touches
+    # a pad block, and its dead programs' flushes land in the q bucket's
+    # own padding rows, which no consumer reads. Skipping the pad there
+    # removes a concatenate + slice that COPIED the whole activation
+    # twice per layer: measured round 4 as 428 of 461 ms/step of the
+    # driver-shaped prefill (io-diagnostic floor, 14 x 584-token rows —
+    # the entire prefill-vs-roofline gap VERDICT #3 chased).
+    pad = BQ if use_flat_decode else 0
+    if pad:
+        q_in = jnp.concatenate(
+            [q, jnp.zeros((pad, Hq, hd), q.dtype)], axis=0
+        )
+        pos_in = jnp.concatenate(
+            [meta.positions, jnp.zeros((pad,), meta.positions.dtype)]
+        ).reshape(n_blocks + 1, BQ, 1)
+        qrid_in = jnp.concatenate(
+            [meta.q_req_ids, jnp.full((pad,), -1, meta.q_req_ids.dtype)]
+        ).reshape(n_blocks + 1, BQ, 1)
+    else:
+        q_in = q
+        pos_in = meta.positions.reshape(n_blocks, BQ, 1)
+        qrid_in = meta.q_req_ids.reshape(n_blocks, BQ, 1)
 
     fused_inputs = []
     if store_fused:
