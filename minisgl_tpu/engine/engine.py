@@ -133,20 +133,36 @@ class Engine:
                 config.max_seq_len, self.num_pages * config.page_size
             )
             self.pages_cap = div_ceil(self.max_seq_len, config.page_size)
+            # The retry decision must be COLLECTIVE: RESOURCE_EXHAUSTED can
+            # hit only a subset of hosts (per-process allocator
+            # fragmentation), and a failing host re-entering a collective
+            # while successful hosts have broken out silently hangs the job
+            # (advisor, round 4). Every host attempts, then all hosts
+            # all-gather (ok, proposed_pages) and take the same decision.
+            state = None
             try:
-                self.state = self._init_device_state()
-                break
+                state = self._init_device_state()
+                ok = True
             except jax.errors.JaxRuntimeError as e:
                 if not probed or "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                new_pages = int(self.num_pages * 0.85)
-                if new_pages < 16:
-                    raise
-                logger.warning(
-                    f"KV pool allocation of {self.num_pages} pages refused "
-                    f"by the device; retrying with {new_pages}"
+                ok = False
+            proposal = self.num_pages if ok else int(self.num_pages * 0.85)
+            all_ok, agreed = self._agree_alloc_outcome(ok, proposal)
+            if all_ok:
+                self.state = state
+                break
+            del state  # successful hosts free their pool before retrying
+            if agreed < 16:
+                raise RuntimeError(
+                    f"KV pool allocation refused down to {agreed} pages; "
+                    f"not enough device memory"
                 )
-                self.num_pages = self._agree_num_pages_across_hosts(new_pages)
+            logger.warning(
+                f"KV pool allocation of {self.num_pages} pages refused "
+                f"(this or another host); retrying with {agreed}"
+            )
+            self.num_pages = agreed
         logger.info(
             f"engine up: {self.num_pages} pages x {config.page_size} tokens, "
             f"max_seq_len {self.max_seq_len}, tp={config.tp_size}"
@@ -409,6 +425,24 @@ class Engine:
             )
         return lo
 
+    def _agree_alloc_outcome(self, ok: bool, proposal: int):
+        """Collective allocation-retry agreement: all-gather every host's
+        (attempt succeeded, proposed next page count) so each host executes
+        the same number of collectives and converges on the same pool size
+        — min over proposals, success only if ALL hosts succeeded."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return ok, proposal
+        from jax.experimental import multihost_utils
+
+        arr = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([int(ok), proposal], dtype=np.int64)
+            )
+        ).reshape(-1, 2)
+        return bool(arr[:, 0].min()), int(arr[:, 1].min())
+
     def _init_device_state(self) -> DeviceState:
         cfg = self.config
         L = self.model_config.num_layers
@@ -436,9 +470,10 @@ class Engine:
         )
         # plane-major [L*P, 2, ps*kvh, hd] vs head-blocked
         # [L*P, ps, 2*kvh, hd] (ops/kv.py module doc; sharding axis 2 holds
-        # the head-carrying dim in both). Head-blocked pools must keep
-        # axis 1 != 2 for the shape-based layout detection (is_plane).
-        assert plane or cfg.page_size != 2, "page_size 2 is reserved"
+        # the head-carrying dim in both). page_size 2 is reserved for BOTH
+        # layouts: it makes the shapes ambiguous to the shape-based layout
+        # detection (ops/kv.py pool_page_size raises at every entry point).
+        assert cfg.page_size != 2, "page_size 2 is reserved (ops/kv.py)"
         pool_shape = (
             (L * P_layer, 2, cfg.page_size * kvh, hd)
             if plane

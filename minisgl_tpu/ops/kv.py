@@ -84,16 +84,33 @@ class KV(NamedTuple):
 def is_plane(kv_data: jax.Array) -> bool:
     """True if ``kv_data`` is the plane-major layout.
 
-    Distinguisher: a head-blocked pool's axis 1 is page_size (>= 4 by
-    engine contract — asserted at pool alloc), a plane pool's is exactly
-    2. Shape-only, so it works on ShapeDtypeStructs too."""
+    Distinguisher: a head-blocked pool's axis 1 is page_size, a plane
+    pool's is exactly 2 — which is why page_size == 2 is RESERVED for
+    every pool layout (``pool_page_size`` rejects it loudly; a
+    head-blocked ps=2 pool would be silently misread as plane-major by
+    every store/attention path). Shape-only, so it works on
+    ShapeDtypeStructs too."""
     return kv_data.shape[1] == 2
 
 
 def pool_page_size(kv_data: jax.Array, kvh: int) -> int:
-    """Tokens per page for either layout (kvh = local kv heads)."""
+    """Tokens per page for either layout (kvh = local kv heads).
+
+    Rejects the ambiguous geometry outright: a [N, 2, 2*kvh, hd] shape is
+    EITHER a plane pool with page_size 2 or a head-blocked pool with
+    page_size 2, and the two address tokens differently — so page_size 2
+    is reserved at every entry point, not just the engine's allocator
+    (advisor, round 4: direct/test/library callers were unguarded)."""
     if kv_data.shape[1] == 2:
-        return kv_data.shape[2] // kvh
+        ps = kv_data.shape[2] // kvh
+        if ps == 2:
+            raise ValueError(
+                f"ambiguous KV pool shape {tuple(kv_data.shape)} with "
+                f"kvh={kvh}: page_size 2 is reserved (plane-major vs "
+                f"head-blocked layouts become indistinguishable); use "
+                f"page_size >= 4"
+            )
+        return ps
     return kv_data.shape[1]
 
 

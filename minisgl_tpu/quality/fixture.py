@@ -62,6 +62,25 @@ CONFIG = {
     "eos_token_id": 256,
 }
 
+# Flagship-depth geometry (round-5 VERDICT #6): the REAL Qwen3-0.6B layer
+# stack — 28 layers, hidden 1024, 16 q / 8 kv heads, hd 128 — so quant
+# error ACCUMULATION through a production-depth residual stream is
+# measured, and kvh=8 permits the plane-major pool layout + the flat int8
+# decode kernel (the serving path; the 2-layer kvh=2 gate fixture can
+# only exercise the general kernel). Vocab stays 512 (the corpus task).
+# ~440M params: train on the TPU chip (~2 min); too large to commit, so
+# the checkpoint is generated on demand and cached (see main()).
+CONFIG28 = {
+    **CONFIG,
+    "hidden_size": 1024,
+    "intermediate_size": 3072,
+    "num_hidden_layers": 28,
+    "num_attention_heads": 16,
+    "num_key_value_heads": 8,
+}
+
+GEOMETRIES = {"gate": CONFIG, "depth28": CONFIG28}
+
 SEED = 1234
 TRAIN_STEPS = 400
 BATCH, SEQ = 8, 256
@@ -170,7 +189,9 @@ def _batched_nll_fn(model, mesh, attn, B: int, T: int, page_size: int = 16):
     return jax.jit(sharded), kv_specs
 
 
-def train_params(verbose: bool = True) -> Tuple[object, Dict, float]:
+def train_params(
+    verbose: bool = True, config: Dict | None = None
+) -> Tuple[object, Dict, float]:
     """Seeded training run; returns (model, trained params dict, eval NLL)."""
     import jax
     import optax
@@ -181,7 +202,7 @@ def train_params(verbose: bool = True) -> Tuple[object, Dict, float]:
     from minisgl_tpu.models.weight import init_dummy_params
     from minisgl_tpu.parallel.mesh import create_mesh
 
-    cfg_d = dict(CONFIG, torch_dtype="float32")  # train in f32
+    cfg_d = dict(config or CONFIG, torch_dtype="float32")  # train in f32
     cfg = ModelConfig.from_hf(cfg_d)
     model = create_model(cfg, 1, quant="none")
     mesh = create_mesh(tp_size=1)
@@ -273,7 +294,9 @@ def inject_outliers(model, params: Dict, rng: np.random.Generator) -> Dict:
     return out
 
 
-def export_hf(model, params: Dict, out_dir: str) -> None:
+def export_hf(
+    model, params: Dict, out_dir: str, config: Dict | None = None
+) -> None:
     """Write the internal param dict as an HF-format checkpoint that
     models/weight.py load_params re-assembles (inverse of the tp=1
     source transforms in models/common.py build_param_specs)."""
@@ -281,7 +304,7 @@ def export_hf(model, params: Dict, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(CONFIG, f, indent=2)
+        json.dump(config or CONFIG, f, indent=2)
 
     hd = model.cfg.head_dim
     q_out = model.dims.q_heads * hd
@@ -330,14 +353,24 @@ def eval_seqs(n: int = 8, T: int = 257):
 
 
 def main() -> None:
-    import sys
+    import argparse
 
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "assets/fixture-gate"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="assets/fixture-gate")
+    ap.add_argument(
+        "--geometry", choices=sorted(GEOMETRIES), default="gate",
+        help="gate: committed 2-layer fixture; depth28: flagship-depth "
+        "Qwen3-0.6B stack (~440M params, generated on demand — train on "
+        "the TPU chip; round-5 VERDICT #6)",
+    )
+    args = ap.parse_args()
+    config = GEOMETRIES[args.geometry]
     # cache the (expensive) training result so injection/export iterations
     # are instant; keyed by the training hyperparameters
+    geo = "" if args.geometry == "gate" else f"_{args.geometry}"
     cache = os.path.expanduser(
         f"~/.cache/mslt_fixture_v{CORPUS_VERSION}_{SEED}_{TRAIN_STEPS}"
-        f"_{BATCH}x{SEQ}.npz"
+        f"_{BATCH}x{SEQ}{geo}.npz"
     )
     if os.path.exists(cache):
         import jax.numpy as jnp
@@ -348,16 +381,16 @@ def main() -> None:
         z = np.load(cache)
         params = {k: jnp.asarray(z[k]) for k in z.files}
         model = create_model(
-            ModelConfig.from_hf(dict(CONFIG, torch_dtype="float32")), 1
+            ModelConfig.from_hf(dict(config, torch_dtype="float32")), 1
         )
         print(f"loaded trained params from {cache}")
     else:
-        model, params, eval_nll = train_params()
+        model, params, eval_nll = train_params(config=config)
         np.savez(cache, **{k: np.asarray(v) for k, v in params.items()})
         print(f"trained (eval nll/token {eval_nll:.4f}); cached -> {cache}")
     params = inject_outliers(model, params, np.random.default_rng(SEED + 3))
-    export_hf(model, params, out_dir)
-    print(f"fixture written to {out_dir}")
+    export_hf(model, params, out_dir=args.out_dir, config=config)
+    print(f"fixture written to {args.out_dir}")
 
 
 if __name__ == "__main__":

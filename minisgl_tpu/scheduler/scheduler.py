@@ -334,9 +334,13 @@ class Scheduler(SchedulerIOMixin):
         # (reference scheduler.py:142 copy_done.synchronize()); with a
         # fetch pool the transfer has been running since dispatch
         t0 = time.perf_counter()
-        tokens, lp = (
-            future.result() if future is not None else _fetch_output(output)
-        )
+        if future is not None:
+            tokens, lp = future.result()
+        else:
+            tokens, lp = _fetch_output(output)
+            self.metrics.completion_events.append(
+                (batch.phase, time.perf_counter(), batch.decode_steps)
+            )
         if tokens.ndim == 1:  # single-step: [B] -> [1, B]
             tokens = tokens[None, :]
         dt = time.perf_counter() - t0
@@ -589,6 +593,16 @@ class Scheduler(SchedulerIOMixin):
                 )
                 if decode is not None:
                     batches.append(decode)
+            if self.config.spec_algo != "none":
+                # spec-reserved rows (staged proposals) are excluded from
+                # the decode stream, so during a sustained prefill train
+                # they would produce zero tokens until a prefill-free
+                # iteration (advisor, round 4). Verify rows are disjoint
+                # from both the prefill rows (not yet running) and the
+                # decode rows (no staged proposal) — ride this iteration.
+                verify = self._schedule_verify(rep)
+                if verify is not None:
+                    batches.append(verify)
         elif self.config.spec_algo != "none":
             verify = self._schedule_verify(rep)
             if verify is not None:
@@ -755,6 +769,15 @@ class Scheduler(SchedulerIOMixin):
             return None
         return Batch(reqs=reqs, phase="verify")
 
+    def _fetch_and_stamp(self, output: ForwardOutput, phase: str, k: int):
+        """Pool-thread fetch + completion stamp: np.asarray returns right
+        after the device finishes this batch (serial device queue), so the
+        stamp marks device completion plus a constant RTT that cancels in
+        consecutive-completion differences (metrics.completion_events)."""
+        result = _fetch_output(output)
+        self.metrics.completion_events.append((phase, time.perf_counter(), k))
+        return result
+
     def _forward(self, rep: Replica, batch: Batch) -> ForwardData:
         self.metrics.dispatch_events.append(
             (batch.phase, time.perf_counter())
@@ -781,7 +804,9 @@ class Scheduler(SchedulerIOMixin):
         except AttributeError:
             pass  # non-jax.Array stand-ins in tests
         future = (
-            self._fetch_pool.submit(_fetch_output, output)
+            self._fetch_pool.submit(
+                self._fetch_and_stamp, output, batch.phase, batch.decode_steps
+            )
             if self._fetch_pool is not None
             else None
         )

@@ -129,3 +129,23 @@ def test_fixture_checkpoint_loads_bitfaithfully():
 
     r = score_nll(FIXTURE, eval_seqs(n=2, T=129), backend="xla", page_size=16)
     assert r["nll_per_token"] < 4.0, r
+
+
+def test_decode_path_scorer_matches_prefill(scores):
+    """score_nll_decode computes the same teacher-forced quantity through
+    the DECODE phase (per-position forward, fused KV store, decode
+    attention) — on the exact-arithmetic xla backend it must agree with
+    the prefill scorer to numerical noise, and its int8-KV delta must be
+    positive like the prefill one (round-4 VERDICT #4: the decode path is
+    the serving path and was not NLL-gated)."""
+    from minisgl_tpu.quality.fixture import eval_seqs
+    from minisgl_tpu.quality.nll import score_nll, score_nll_decode
+
+    seqs = eval_seqs(n=2, T=129)
+    pre = score_nll(FIXTURE, seqs, backend="xla", page_size=16)
+    dec = score_nll_decode(FIXTURE, seqs, backend="xla", page_size=16)
+    assert abs(pre["nll_per_token"] - dec["nll_per_token"]) < 2e-3, (pre, dec)
+    dec_kv = score_nll_decode(
+        FIXTURE, seqs, backend="xla", page_size=16, kv_dtype="int8"
+    )
+    assert dec_kv["nll_per_token"] > dec["nll_per_token"], (dec, dec_kv)
