@@ -175,8 +175,8 @@ def main():
         )
 
     for name in names:
-        if name == "full" or name == "full_k1":
-            k = 1 if name == "full_k1" else K
+        if name == "full" or name.startswith("full_k"):
+            k = int(name[6:]) if name.startswith("full_k") else K
             step = eng._get_step_fn("decode", True, dims, decode_steps=k)
 
             def go(step=step):
@@ -229,7 +229,31 @@ def main():
                 )
                 return q, kv
 
-            jfn = jax.jit(attn_chain, donate_argnums=1)
+            # pallas_call requires Manual mesh axes: wrap like the real step
+            from jax.sharding import PartitionSpec as P
+
+            from minisgl_tpu.engine.step import (
+                KV_SCALE_P_SPEC,
+                KV_SCALE_SPEC,
+                KV_SPEC,
+            )
+            from minisgl_tpu.ops.kv import KV as KVT
+
+            kv_specs = KVT(
+                data=KV_SPEC,
+                scale=KV_SCALE_SPEC if eng.kv_scaled else None,
+                scale_p=KV_SCALE_P_SPEC if eng.kv_scaled else None,
+            )
+            jfn = jax.jit(
+                jax.shard_map(
+                    attn_chain,
+                    mesh=eng.mesh_info.mesh,
+                    in_specs=(P(), kv_specs),
+                    out_specs=(P(), kv_specs),
+                    check_vma=False,
+                ),
+                donate_argnums=1,
+            )
             q0 = jnp.asarray(
                 np.random.default_rng(1).standard_normal((BS, nql, hd)),
                 jnp.bfloat16,

@@ -90,6 +90,34 @@ def time_variant(engine, name: str) -> float:
         def attn(q, pool, meta, new_kv=None):
             return q if new_kv is None else (q, pool)
 
+    elif name == "nostore":
+        # real pallas attention reads, no KV store (garbage values, same
+        # traffic): full - nostore = the store path's cost
+        real = engine._attn["prefill"]
+
+        def attn(q, pool, meta, new_kv=None):
+            o = real(q, pool, meta)
+            return o if new_kv is None else (o, pool)
+
+    elif name == "storeonly":
+        # KV quantize+scatter only, identity attention: isolates the
+        # prefill-sized store (XLA scatter above T=256, ops/kv.py)
+        from minisgl_tpu.ops.kv import store_kv
+
+        def attn(q, pool, meta, new_kv=None):
+            if new_kv is None:
+                return q
+            k, v, slots = new_kv
+            pool = store_kv(pool, 0, 1, slots, k, v)
+            return q, pool
+
+    elif name == "xlaattn":
+        from minisgl_tpu.attention import create_attention_backend
+
+        attn = create_attention_backend(
+            "xla", page_size=engine.config.page_size,
+            head_dim=engine.model_config.head_dim, phase="prefill",
+        )
     elif name.startswith("cp") or name.startswith("bq"):
         from minisgl_tpu.attention.pallas_backend import (
             QUERY_ALIGN,

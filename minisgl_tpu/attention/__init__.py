@@ -39,13 +39,28 @@ def with_store(impl: AttnImpl) -> AttnImpl:
     def wrapped(q, kv, meta, new_kv=None):
         if new_kv is None:
             return impl(q, kv, meta)
-        from minisgl_tpu.ops.kv import store_kv
+        from minisgl_tpu.ops.kv import pool_page_size, store_kv
 
         k_new, v_new, slots = new_kv
-        kv = store_kv(kv, 0, 1, slots, k_new, v_new)
+        kv = store_kv(
+            kv, 0, 1, slots, k_new, v_new,
+            max_runs=_max_store_runs(kv, meta, k_new),
+        )
         return impl(q, kv, meta), kv
 
     return wrapped
+
+
+def _max_store_runs(kv, meta, k_new) -> int:
+    """Static bound on the page runs a batched store can contain (ops/kv.py
+    _store_runs): per request <= its pages + 1 boundary run, plus one
+    padding-gap run per request and the tail — T/ps + 3B + 4 covers it."""
+    from minisgl_tpu.ops.kv import pool_page_size
+
+    T = meta.out_slots.shape[0]
+    B = meta.seq_lens.shape[0]
+    ps = pool_page_size(kv.data, k_new.shape[1])
+    return min(T, T // ps + 3 * B + 4)
 
 
 def _make_xla_backend(*, page_size: int, head_dim: int, phase: str) -> AttnImpl:

@@ -1057,10 +1057,14 @@ def pallas_ragged_paged_attention(
     if new_kv is not None and not store_fused:
         # geometry outside the flat decode path (prefill/extend, fused-page,
         # plane-major, misaligned kvh): store first, attend after
+        from minisgl_tpu.attention import _max_store_runs
         from minisgl_tpu.ops.kv import store_kv
 
         k_new, v_new, slots = new_kv
-        kv = store_kv(kv, 0, 1, slots, k_new, v_new)
+        kv = store_kv(
+            kv, 0, 1, slots, k_new, v_new,
+            max_runs=_max_store_runs(kv, meta, k_new),
+        )
         o = pallas_ragged_paged_attention(q, kv, meta, **orig_kwargs)
         return o, kv
 

@@ -160,6 +160,114 @@ def scatter_kv_scales(
     return KV(kv.data, new_scale, new_scale_p)
 
 
+def _store_runs(
+    kv: KV,
+    rows: jax.Array,  # [T] global pool row (page) per token
+    offs: jax.Array,  # [T] within-page offset per token
+    kv_new: jax.Array,  # [T, 2*kvh, hd] already in pool dtype
+    scale,  # [T, 2*kvh] f32 or None
+    page_size: int,
+    max_runs: int,
+) -> KV:
+    """Page-run batched store for prefill-sized writes.
+
+    The round-4 token-scatter cost ~276 ms of a 459 ms prefill step
+    (BENCHLOG round 5 prefill decomposition): scattering T~8k individual
+    rows into the multi-GB pool forces XLA into relayout-heavy updates
+    whose cost scales with the pool, not the written rows. This path
+    exploits the batch builder's structural guarantee — the tokens that
+    write one page form ONE contiguous token-index run with offsets
+    ascending by 1, and no two requests share a page — to rewrite the
+    store as: detect the <= max_runs page runs, GATHER each touched page
+    block once, merge the new rows in registers, and SCATTER whole page
+    blocks back (unique leading-dim indices -> in-place with donation).
+    Traffic becomes O(pages touched), ~40 MB instead of a pool-scaled
+    scatter.
+
+    Padding tokens (all targeting a dummy page's slot 0) form runs whose
+    writes land in the dummy page — garbage there is the engine's
+    convention. Unused run slots point at page 0 with an all-False row
+    mask, writing its old content back (benign, possibly duplicated)."""
+    T = rows.shape[0]
+    ps = page_size
+    kvh = kv_new.shape[1] // 2
+    hd = kv_new.shape[2]
+    t_ar = jnp.arange(T, dtype=jnp.int32)
+    flag = jnp.concatenate(
+        [jnp.ones((1,), bool), rows[1:] != rows[:-1]]
+    )
+    run_idx = (jnp.cumsum(flag) - 1).astype(jnp.int32)
+    PW = max_runs
+    BIG = jnp.int32(1 << 30)
+    run_page = (
+        jnp.zeros((PW,), jnp.int32)
+        .at[run_idx]
+        .max(jnp.where(flag, rows, -1), mode="drop")
+    )
+    run_t0 = (
+        jnp.full((PW,), BIG, jnp.int32)
+        .at[run_idx]
+        .min(jnp.where(flag, t_ar, BIG), mode="drop")
+    )
+    run_off0 = (
+        jnp.full((PW,), BIG, jnp.int32)
+        .at[run_idx]
+        .min(jnp.where(flag, offs, BIG), mode="drop")
+    )
+    # runs are assigned in token order, so the next run's start bounds this
+    # run's token range; the last (and every unused) run bounds at T
+    run_t1 = jnp.minimum(
+        jnp.concatenate([run_t0[1:], jnp.full((1,), T, jnp.int32)]), T
+    )
+    run_len = jnp.clip(run_t1 - run_t0, 0, ps)
+    base = jnp.clip(run_t0 - run_off0, -ps, T)  # token idx writing off 0
+    idx = base[:, None] + jnp.arange(ps, dtype=jnp.int32)[None, :] + ps
+    zpad = jnp.zeros((ps,) + kv_new.shape[1:], kv_new.dtype)
+    blocks = jnp.take(
+        jnp.concatenate([zpad, kv_new, zpad]), idx, axis=0
+    )  # [PW, ps, 2kvh, hd]
+    ar = jnp.arange(ps, dtype=jnp.int32)[None, :]
+    valid = (ar >= run_off0[:, None]) & (
+        ar < run_off0[:, None] + run_len[:, None]
+    )  # [PW, ps]
+
+    pool = kv.data
+    if is_plane(pool):
+        kblk = blocks[:, :, :kvh, :].reshape(PW, ps * kvh, hd)
+        vblk = blocks[:, :, kvh:, :].reshape(PW, ps * kvh, hd)
+        new = jnp.stack([kblk, vblk], axis=1)  # [PW, 2, ps*kvh, hd]
+        old = jnp.take(pool, run_page, axis=0)
+        m = jnp.repeat(valid, kvh, axis=1)[:, None, :, None]
+        data = pool.at[run_page].set(jnp.where(m, new, old), mode="drop")
+    else:
+        old = jnp.take(pool, run_page, axis=0)  # [PW, ps, 2kvh, hd]
+        m = valid[:, :, None, None]
+        data = pool.at[run_page].set(jnp.where(m, blocks, old), mode="drop")
+    if scale is None:
+        return KV(data, kv.scale, kv.scale_p)
+
+    szpad = jnp.zeros((ps,) + scale.shape[1:], scale.dtype)
+    sblk = jnp.take(
+        jnp.concatenate([szpad, scale, szpad]), idx, axis=0
+    )  # [PW, ps, 2kvh] f32
+    # decode sidecar [N, 2, ps*kvh], lane order off*kvh + h per plane
+    sk = sblk[:, :, :kvh].reshape(PW, ps * kvh)
+    sv = sblk[:, :, kvh:].reshape(PW, ps * kvh)
+    new_sc = jnp.stack([sk, sv], axis=1)  # [PW, 2, ps*kvh]
+    old_sc = jnp.take(kv.scale, run_page, axis=0)
+    m_sc = jnp.repeat(valid, kvh, axis=1)[:, None, :]
+    new_scale = kv.scale.at[run_page].set(
+        jnp.where(m_sc, new_sc, old_sc), mode="drop"
+    )
+    # prefill sidecar [N, ps, 128]: scale row in the first 2*kvh lanes
+    new_sp = jnp.pad(sblk, ((0, 0), (0, 0), (0, SCALE_P_LANES - 2 * kvh)))
+    old_sp = jnp.take(kv.scale_p, run_page, axis=0)
+    new_scale_p = kv.scale_p.at[run_page].set(
+        jnp.where(valid[:, :, None], new_sp, old_sp), mode="drop"
+    )
+    return KV(data, new_scale, new_scale_p)
+
+
 def store_kv(
     kv: KV,  # combined pool (+ scale sidecars for int8 pools)
     layer_id: jax.Array | int,
@@ -167,6 +275,7 @@ def store_kv(
     out_slots: jax.Array,  # [T] token slots within the layer's page space
     k_new: jax.Array,  # [T, kvh, hd]
     v_new: jax.Array,
+    max_runs: int | None = None,  # enables the page-run path for big T
 ) -> KV:
     """Scatter new KV rows (and, for int8 pools, their scales) in place."""
     kv_pool = kv.data
@@ -202,7 +311,15 @@ def store_kv(
     # off*kvh — only tileable when kvh is a whole sublane tile; smaller
     # kvh (high TP) takes the XLA scatter
     force_xla = plane and kvh % 8 != 0
+    # prefill-sized writes with run metadata: page-run batched store (the
+    # token-scatter's cost scales with the POOL — ~276 ms of a 459 ms
+    # prefill step, round-5 BENCHLOG decomposition)
+    use_runs = max_runs is not None and T > 256
     if kv.scale is not None:
+        if use_runs:
+            return _store_runs(
+                kv, rows, offs, kv_new, scale, page_size, max_runs
+            )
         if force_xla or jax.default_backend() == "cpu" or T > 256:
             # XLA scatter: CPU/tests, and large prefill writes (one DMA per
             # token would serialize ~8k transfers)
@@ -233,6 +350,10 @@ def store_kv(
             planes.transpose(0, 2, 1), mode="promise_in_bounds"
         )
         return KV(new_pool, new_scale, new_scale_p)
+    if use_runs:
+        return _store_runs(
+            kv, rows, offs, kv_new, None, page_size, max_runs
+        )
     if force_xla or jax.default_backend() == "cpu" or T > 256:
         # XLA scatter: fine on CPU/tests, and better for big prefill writes
         # (the Pallas store is one serial DMA per token). On TPU decode the
