@@ -218,7 +218,10 @@ def train_params(
         if k.endswith("norm_w") or k == "final_norm":
             params[k] = jnp.ones_like(params[k])
     rng = np.random.default_rng(SEED)
-    loss_fn, _ = _batched_nll_fn(model, mesh, attn, BATCH, SEQ)
+    # the 28-layer geometry (~440M params f32 + adam) needs a smaller
+    # activation footprint to train inside one chip's HBM
+    batch = BATCH if cfg.num_layers <= 4 else BATCH // 2
+    loss_fn, _ = _batched_nll_fn(model, mesh, attn, batch, SEQ)
 
     frozen = {
         k for k, info in model.params_spec.items() if info.init is not None
@@ -228,22 +231,29 @@ def train_params(
     )
     opt_state = tx.init({k: v for k, v in params.items() if k not in frozen})
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    import functools
 
-    corpus = make_corpus(rng, TRAIN_STEPS * BATCH, SEQ, cfg.vocab_size)
-    for step in range(TRAIN_STEPS):
-        ids = corpus[step * BATCH : (step + 1) * BATCH]
-        loss, grads = grad_fn(params, ids)
+    # ONE fused, donated train step: params/opt_state buffers are reused in
+    # place, halving peak HBM vs separate grad/update/apply calls (the
+    # 28-layer f32 geometry OOMed a 16 GB chip without this)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ids)
         g = {k: v for k, v in grads.items() if k not in frozen}
         updates, opt_state = tx.update(g, opt_state)
         trained = optax.apply_updates(
             {k: v for k, v in params.items() if k not in frozen}, updates
         )
-        params = {**params, **trained}
+        return {**params, **trained}, opt_state, loss
+
+    corpus = make_corpus(rng, TRAIN_STEPS * batch, SEQ, cfg.vocab_size)
+    for step in range(TRAIN_STEPS):
+        ids = corpus[step * batch : (step + 1) * batch]
+        params, opt_state, loss = train_step(params, opt_state, ids)
         if verbose and step % 50 == 0:
             print(f"step {step:4d}  train nll/token {float(loss):.4f}")
 
-    ev = make_corpus(np.random.default_rng(SEED + 1), BATCH, SEQ, cfg.vocab_size)
+    ev = make_corpus(np.random.default_rng(SEED + 1), batch, SEQ, cfg.vocab_size)
     eval_nll = float(loss_fn(params, ev))
     if verbose:
         print(f"eval nll/token {eval_nll:.4f} (corpus entropy ~0.9)")

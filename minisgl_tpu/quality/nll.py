@@ -115,12 +115,15 @@ def _score_one(
     q_req_ids[:T] = 0
     ids_pad = np.zeros((Tp,), np.int32)
     ids_pad[:T] = ids
+    # pow2-padded table width (engine discipline): the pallas kernels
+    # require the width to be a multiple of their DMA chunk
+    PBW = 1 << (pages_cap - 1).bit_length()
+    pt = np.zeros((1, PBW), np.int32)
+    pt[0, :pages_cap] = np.arange(1, pages_cap + 1, dtype=np.int32)
     meta = AttnMetadata(
         out_slots=jnp.asarray(out_slots),
         positions=jnp.asarray(positions),
-        page_table=jnp.asarray(
-            np.arange(1, pages_cap + 1, dtype=np.int32)[None, :]
-        ),
+        page_table=jnp.asarray(pt),
         seq_lens=jnp.asarray(np.array([T], np.int32)),
         q_req_ids=jnp.asarray(q_req_ids),
         last_q_index=jnp.asarray(np.array([T - 1], np.int32)),
@@ -266,9 +269,12 @@ def score_nll_decode(
     L = cfg.num_layers
     n_rows = (B * pages_per_seq + 1) * L
     kv = _make_pool(model, mesh, kv_dt, page_size, n_rows, kv_layout)
-    pt = (1 + np.arange(B * pages_per_seq, dtype=np.int32)).reshape(
-        B, pages_per_seq
-    )
+    # pow2-padded table width (engine discipline; pallas chunk multiple)
+    PBW = 1 << (pages_per_seq - 1).bit_length()
+    pt = np.zeros((B, PBW), np.int32)
+    pt[:, :pages_per_seq] = (
+        1 + np.arange(B * pages_per_seq, dtype=np.int32)
+    ).reshape(B, pages_per_seq)
 
     param_specs = {k: v.spec for k, v in model.params_spec.items()}
     kv_specs = KV(
