@@ -45,6 +45,7 @@ class Model:
         attn_impl: AttnImpl,
         gather_last: bool = True,
         gather_logits: bool = True,
+        remat: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         return decoder_forward(
             params,
@@ -58,6 +59,7 @@ class Model:
             w8a8=self.quant == "w8a8",
             gather_last=gather_last,
             gather_logits=gather_logits,
+            remat=remat,
         )
 
 

@@ -390,6 +390,7 @@ def decoder_forward(
     w8a8: bool = False,
     gather_last: bool = True,
     gather_logits: bool = True,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (logits [B, V] f32, kv_pool). With ``gather_last=False`` the
     LM head runs on EVERY query token (logits [T, V]) — the teacher-forced
@@ -487,8 +488,13 @@ def decoder_forward(
 
         return (y, residual, kv_pool, layer_id + 1), None
 
+    # remat (training only — the quality fixture differentiates this
+    # forward): recompute each layer's internals in the backward pass so
+    # activation memory is one layer deep, not num_layers deep (the
+    # 28-layer f32 fixture's backward requested 38.9 GB without it)
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
     (x, residual, kv_pool, _), _ = jax.lax.scan(
-        layer_fn,
+        body,
         (x, jnp.zeros_like(x), kv_pool, jnp.int32(0)),
         layer_params,
     )

@@ -169,7 +169,8 @@ def _batched_nll_fn(model, mesh, attn, B: int, T: int, page_size: int = 16):
         )
         flat = ids.reshape(-1)
         logits, _ = model.forward(
-            params, flat, kv, meta, attn, gather_last=False
+            params, flat, kv, meta, attn, gather_last=False,
+            remat=True,  # differentiated: keep activations 1 layer deep
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tgt = jnp.take_along_axis(
@@ -218,16 +219,19 @@ def train_params(
         if k.endswith("norm_w") or k == "final_norm":
             params[k] = jnp.ones_like(params[k])
     rng = np.random.default_rng(SEED)
-    # the 28-layer geometry (~440M params f32 + adam) needs a smaller
-    # activation footprint to train inside one chip's HBM
-    batch = BATCH if cfg.num_layers <= 4 else BATCH // 2
+    # the 28-layer geometry (~440M params f32 + adam + grads ~= 8.8 GB
+    # resident) needs a small activation footprint to train inside one
+    # 15.75 GB chip; batch 2 with 2x steps keeps the token count
+    deep = cfg.num_layers > 4
+    batch = BATCH if not deep else BATCH // 4
+    steps = TRAIN_STEPS * (2 if deep else 1)
     loss_fn, _ = _batched_nll_fn(model, mesh, attn, batch, SEQ)
 
     frozen = {
         k for k, info in model.params_spec.items() if info.init is not None
     }  # rope cache etc.: buffers, not weights
     tx = optax.adam(
-        optax.cosine_decay_schedule(3e-3, TRAIN_STEPS, alpha=0.1)
+        optax.cosine_decay_schedule(3e-3, steps, alpha=0.1)
     )
     opt_state = tx.init({k: v for k, v in params.items() if k not in frozen})
 
@@ -246,8 +250,8 @@ def train_params(
         )
         return {**params, **trained}, opt_state, loss
 
-    corpus = make_corpus(rng, TRAIN_STEPS * batch, SEQ, cfg.vocab_size)
-    for step in range(TRAIN_STEPS):
+    corpus = make_corpus(rng, steps * batch, SEQ, cfg.vocab_size)
+    for step in range(steps):
         ids = corpus[step * batch : (step + 1) * batch]
         params, opt_state, loss = train_step(params, opt_state, ids)
         if verbose and step % 50 == 0:
