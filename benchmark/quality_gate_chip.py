@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--seqs", type=int, default=6)
     ap.add_argument("--len", type=int, dest="T", default=257)
     ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument(
+        "--paths", nargs="*", default=None,
+        help="substring filters on path labels (e.g. decode/pallas/plane) "
+        "— each label kept if it contains ANY filter; default: all",
+    )
     args = ap.parse_args()
 
     fixture = args.fixture or (
@@ -90,6 +95,8 @@ def main() -> None:
                 continue  # xla path is layout-agnostic; score once
             paths.append((f"prefill/{be}/{layout}", score_nll, be, layout))
             paths.append((f"decode/{be}/{layout}", score_nll_decode, be, layout))
+    if args.paths:
+        paths = [p for p in paths if any(f in p[0] for f in args.paths)]
 
     results = {}
     for label, fn, be, layout in paths:

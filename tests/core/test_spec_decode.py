@@ -249,3 +249,45 @@ def test_spec_auto_gate_by_batch_size(model_dir):
         assert p["token_ids"] == s["token_ids"]
     assert ungated.metrics.spec_steps > 0
     ungated.cache_manager.check_integrity()
+
+
+def test_verify_rides_combined_dispatch(model_dir):
+    """A staged spec proposal must be scheduled as a verify batch even when
+    a prefill dispatches the same iteration (combined dispatch): verify
+    rows were previously excluded from the decode stream AND never
+    scheduled while prefills kept coming, stranding spec-reserved rows for
+    the whole prefill train (round-4 advisor finding)."""
+    llm = _llm(
+        model_dir, spec_algo="lookup", spec_draft_tokens=4, spec_ngram_min=1
+    )
+    rep = llm.replicas[0]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    # one running request with a staged proposal
+    llm.generate([REPETITIVE], sp)  # drains fully; now craft state by hand
+    from minisgl_tpu.core import Req
+
+    req = Req(
+        input_ids=np.asarray(REPETITIVE, np.int32),
+        table_idx=rep.table_manager.allocate(),
+        cached_len=len(REPETITIVE) - 1,
+        output_len=8,
+        uid=991,
+        cache_handle=rep.cache_manager.match_req_ids(
+            np.asarray(REPETITIVE[:-1], np.int32)
+        )
+        if hasattr(rep.cache_manager, "match_req_ids")
+        else None,
+        sampling_params=sp,
+    )
+    # make it a running decode row with resources
+    rep.cache_manager.allocate_paged([req])
+    rep.decode_manager.filter_reqs([req])
+    req.spec_proposal = np.asarray([17, 23, 31], np.int32)
+    # and a pending prefill
+    rep.prefill_manager.add_one_req(
+        992, np.asarray(RANDOM, np.int32), sp
+    )
+    batches = llm._schedule_next_batches(rep)
+    phases = [b.phase for b in batches]
+    assert "prefill" in phases, phases
+    assert "verify" in phases, phases
