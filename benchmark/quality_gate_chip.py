@@ -55,7 +55,12 @@ def main() -> None:
     ap.add_argument("--geometry", choices=("gate", "depth28"), default="gate")
     ap.add_argument("--fixture", default=None)
     ap.add_argument("--seqs", type=int, default=6)
-    ap.add_argument("--len", type=int, dest="T", default=257)
+    # depth28 must evaluate at the TRAINED copy offset (T=256): the
+    # 28-layer model learns a positional shortcut (copy = attend exactly
+    # 128 back); at T=257 the corpus copy offset shifts to 129 and the
+    # model collapses 0.71 -> 4.11 nats, drowning all quant deltas (the
+    # 2-layer model generalizes content-based and scores fine at 257).
+    ap.add_argument("--len", type=int, dest="T", default=None)
     ap.add_argument("--page-size", type=int, default=16)
     ap.add_argument(
         "--paths", nargs="*", default=None,
@@ -63,6 +68,8 @@ def main() -> None:
         "— each label kept if it contains ANY filter; default: all",
     )
     args = ap.parse_args()
+    if args.T is None:
+        args.T = 257 if args.geometry == "gate" else 256
 
     fixture = args.fixture or (
         os.path.join(REPO, "assets", "fixture-gate")
