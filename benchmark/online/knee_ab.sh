@@ -24,12 +24,20 @@ SCALES="2.0 1.5 1.25 1.1 1.0 0.8 0.6"
 run_one() {
     local cache="$1" outfile="$2"
     local log="/tmp/srv_knee_${cache}.log"
-    setsid nohup python -m minisgl_tpu --model "$REPO/assets/qwen3-0.6b" \
+    # NB setsid may FORK (when the shell job is not a session leader), so
+    # $! is the wrapper, not the server's process group — killing -$! then
+    # silently leaves the server alive (first A/B attempt: the previous
+    # leg's server survived into the next sweep). exec + a pidfile records
+    # the real session-leader pid.
+    setsid nohup bash -c "echo \$\$ > /tmp/knee_srv.pid; exec python -m \
+        minisgl_tpu --model '$REPO/assets/qwen3-0.6b' \
         --dummy-weight --port $PORT --max-running-req 128 \
         --max-seq-len 2048 --kv-dtype int8 --quantization int8 \
-        --decode-steps 8 --pipeline-depth 4 --cache "$cache" \
+        --decode-steps 8 --pipeline-depth 4 --cache $cache" \
         > "$log" 2>&1 < /dev/null &
-    local SRV_PGID=$!
+    sleep 2
+    local SRV_PGID
+    SRV_PGID=$(cat /tmp/knee_srv.pid)
     # wait for health + background warmup completion (compiles drain while
     # serving; a cold sweep measures compile ambushes, not the scheduler)
     for i in $(seq 1 240); do
@@ -38,8 +46,18 @@ run_one() {
             break
         fi
     done
-    sleep 30  # idle first-execution ticks drain
     curl -s -m 5 "http://127.0.0.1:$PORT/health" || true
+    # Compiled executables still pay a per-process device program LOAD on
+    # first execution (~2-4 s each through the remote runtime), drained
+    # one per idle scheduler iteration. A 30 s sleep was NOT enough: the
+    # first A/B attempt measured TTFT p99 of 34-66 s on BOTH legs — load
+    # ambushes, not scheduling. Prime with a discarded light replay, then
+    # idle long enough for the ~74 variants' loads to drain.
+    python "$REPO/benchmark/online/bench_knee.py" \
+        --url "http://127.0.0.1:$PORT" --trace "$TRACE" --num 120 \
+        --scales 3.0 --slo-ttft-p99-ms 1e9 --out /tmp/knee_discard.json \
+        || true
+    sleep 300
     python "$REPO/benchmark/online/bench_knee.py" \
         --url "http://127.0.0.1:$PORT" --trace "$TRACE" --num 200 \
         --scales $SCALES --out "$outfile"

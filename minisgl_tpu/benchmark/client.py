@@ -119,7 +119,12 @@ async def benchmark_batch(
     sem = asyncio.Semaphore(max_inflight or len(requests))
 
     async with aiohttp.ClientSession(
-        timeout=aiohttp.ClientTimeout(total=None)
+        timeout=aiohttp.ClientTimeout(total=None),
+        # default TCPConnector caps at 100 concurrent connections: above
+        # that, requests queue CLIENT-side after send_time is stamped,
+        # manufacturing multi-second phantom TTFTs (round-5 knee A/B
+        # diagnosis: server queues empty, client p90 26 s)
+        connector=aiohttp.TCPConnector(limit=0),
     ) as session:
 
         async def one(req):
@@ -137,7 +142,8 @@ async def benchmark_trace(
 
     t0 = time.perf_counter()
     async with aiohttp.ClientSession(
-        timeout=aiohttp.ClientTimeout(total=None)
+        timeout=aiohttp.ClientTimeout(total=None),
+        connector=aiohttp.TCPConnector(limit=0),  # see benchmark_batch
     ) as session:
 
         async def one(at, req):

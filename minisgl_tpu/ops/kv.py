@@ -43,8 +43,15 @@ scales along opposite axes:
   dot and multiplies them into the K/V chunk data.  Under TP the global
   lane dim is tp * 128, sharded on the model axis.
 
-The scatter is a jnp advanced-index update; with the pool donated into the
-jitted step XLA performs it in place — no pool copy.
+Write paths by size (store_kv):
+- decode-sized (T <= 256): Pallas DMA store (store_pallas.py) or the
+  in-kernel fused store (attention/pallas_backend.py);
+- prefill-sized (T > 256, callers pass ``max_runs``): page-RUN batched
+  store (_store_runs) — gather each touched page block once, merge, and
+  scatter whole blocks back. The naive token scatter's cost scales with
+  the POOL (XLA relayout-heavy updates: ~275 ms of a 459 ms prefill step,
+  BENCHLOG round 5); the run store is O(pages touched) (~0.25 ms).
+All updates run on donated pools, so XLA performs them in place.
 """
 
 from __future__ import annotations
