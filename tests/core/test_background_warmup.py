@@ -52,3 +52,43 @@ def test_aot_variants_serve_identically(tmp_path):
     # the buckets this workload hits)
     greedy_keys = [k for k in eng._step_fns if k[1] is True]
     assert len(greedy_keys) >= 2
+
+
+def test_agree_alloc_outcome_collective(monkeypatch):
+    """The KV-pool allocation retry decision is collective: every host
+    all-gathers (ok, proposal) and takes min over both — a host that OOMed
+    while others succeeded must drive ALL hosts to retry at its smaller
+    proposal (round-4 advisor: a subset-failure previously hung the job in
+    mismatched collectives)."""
+    import numpy as np
+
+    import minisgl_tpu.engine.engine as E
+
+    eng = object.__new__(E.Engine)  # no device init needed
+
+    # single process: identity
+    assert eng._agree_alloc_outcome(True, 100) == (True, 100)
+    assert eng._agree_alloc_outcome(False, 85) == (False, 85)
+
+    # simulate 3 hosts: this host ok@100, another failed and proposes 85
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(
+        [[1, 100], [0, 85], [1, 100]], dtype=np.int64
+    ).reshape(-1)
+
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather", lambda x: gathered
+    )
+    ok, pages = eng._agree_alloc_outcome(True, 100)
+    assert ok is False and pages == 85
+
+    # all ok -> proceed at the smallest (they should already agree)
+    gathered = np.asarray(
+        [[1, 100], [1, 100], [1, 100]], dtype=np.int64
+    ).reshape(-1)
+    ok, pages = eng._agree_alloc_outcome(True, 100)
+    assert ok is True and pages == 100
