@@ -171,7 +171,10 @@ def main() -> None:
             use_dummy_weight=True,
             max_running_req=ROWS,
             max_seq_len_override=2048,
-            num_page_override=ROWS * (ROW_LEN // PS + 2) + 2,
+            # ABL_PAGES_MULT: inflate the pool without changing the work —
+            # a store cost that scales with POOL size is a hidden copy
+            num_page_override=(ROWS * (ROW_LEN // PS + 2) + 2)
+            * int(os.environ.get("ABL_PAGES_MULT", "1")),
             page_size=PS,
             kv_dtype=KV_DTYPE,
             quantization=QUANT,
