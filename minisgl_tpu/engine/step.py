@@ -15,6 +15,7 @@ functional formulation of the reference's mutable Context
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -226,11 +227,18 @@ def build_step_fn(
             if want_logprobs
             else ()
         )
+        # Each fori_loop iteration boundary costs ~2 ms more than a
+        # program boundary (BENCHLOG round-5 K-burst decomposition: lost
+        # cross-iteration pipelining inside the compiled loop; the
+        # sampled-token -> next-embed dependency is identical either way).
+        # unroll>1 trades compile time / program size for that pipelining.
+        unroll = int(os.environ.get("MSLT_BURST_UNROLL", "1"))
         state, toks, lps = jax.lax.fori_loop(
             0,
             K,
             body,
             (state, jnp.zeros((K, B), jnp.int32), lps0),
+            unroll=max(1, min(unroll, K)),
         )
         if want_logprobs:
             return state, toks, lps
